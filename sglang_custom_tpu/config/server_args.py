@@ -1,0 +1,98 @@
+"""Server configuration.
+
+TPU-native analog of the reference's single-source-of-truth flag system
+(reference: python/sglang/srt/server_args.py:46-266 — a ~190-flag dataclass
+mirrored into argparse). We keep the same pattern: one dataclass, CLI mirror,
+``__post_init__`` heuristics — but the flags describe a single-controller JAX
+topology (mesh axes, bucket sets) instead of per-GPU worker processes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class ServerArgs:
+    # Model
+    model_path: str = ""
+    tokenizer_path: Optional[str] = None
+    dtype: str = "bfloat16"            # activation/weight compute dtype
+    kv_cache_dtype: str = "auto"       # auto | bfloat16 | float32 | fp8_e4m3
+    context_length: Optional[int] = None
+    quantization: Optional[str] = None  # None | awq | gptq | fp8 | int8
+    load_format: str = "auto"          # auto | safetensors | dummy
+    random_seed: int = 0
+
+    # KV cache / memory
+    page_size: int = 32                # tokens per KV page
+    mem_fraction_static: float = 0.85  # fraction of HBM for weights+KV
+    max_num_pages: Optional[int] = None  # override computed page count
+    max_running_requests: int = 256
+    max_prefill_tokens: int = 8192     # token budget per prefill batch
+    chunked_prefill_size: int = 4096   # -1 disables chunking
+    disable_radix_cache: bool = False
+
+    # Scheduling
+    schedule_policy: str = "lpm"       # lpm | fcfs | lof | random
+    schedule_conservativeness: float = 1.0
+    stream_interval: int = 1
+
+    # Parallelism (mesh axes over ICI/DCN)
+    tp_size: int = 1                   # tensor axis
+    dp_size: int = 1                   # data axis (replica count)
+    ep_size: int = 1                   # expert axis for MoE
+    num_hosts: int = 1
+    host_rank: int = 0
+    dist_init_addr: Optional[str] = None
+
+    # Precompiled shape buckets (the CUDA-graph analog: one jit cache entry
+    # per bucket; reference: model_executor/cuda_graph_runner.py:138).
+    decode_bs_buckets: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+    prefill_token_buckets: tuple = (128, 256, 512, 1024, 2048, 4096, 8192)
+
+    # Server
+    host: str = "127.0.0.1"
+    port: int = 30000
+    log_level: str = "info"
+
+    # Speculative decoding
+    speculative_algorithm: Optional[str] = None  # None | eagle
+    speculative_draft_model_path: Optional[str] = None
+    speculative_num_steps: int = 3
+    speculative_num_draft_tokens: int = 4
+
+    # Testing / dev
+    device: str = "auto"               # auto | tpu | cpu
+    skip_tokenizer_init: bool = False
+    enable_overlap_schedule: bool = True
+
+    def __post_init__(self):
+        if self.tokenizer_path is None:
+            self.tokenizer_path = self.model_path
+        if self.chunked_prefill_size == -1:
+            self.chunked_prefill_size = 1 << 30
+        if self.kv_cache_dtype == "auto":
+            self.kv_cache_dtype = self.dtype
+        assert self.page_size > 0 and (self.page_size & (self.page_size - 1)) == 0, (
+            "page_size must be a power of two"
+        )
+
+    @staticmethod
+    def add_cli_args(parser: argparse.ArgumentParser) -> None:
+        for f in dataclasses.fields(ServerArgs):
+            if f.type in ("tuple", tuple):
+                continue
+            arg = "--" + f.name.replace("_", "-")
+            default = f.default
+            if f.type in ("bool", bool):
+                parser.add_argument(arg, action="store_true", default=default)
+            else:
+                parser.add_argument(arg, default=default)
+
+    @classmethod
+    def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in vars(args).items() if k in fields})

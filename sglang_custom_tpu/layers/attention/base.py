@@ -1,0 +1,74 @@
+"""Attention backend interface.
+
+Analog of the reference's AttentionBackend ABC
+(reference: srt/layers/attention/base_attn_backend.py:14 with
+init_forward_metadata / forward_extend / forward_decode and CUDA-graph
+hooks). On TPU the graph-capture hooks disappear (bucketed jit replaces
+CUDA graphs) and extend/decode collapse into one ragged call.
+
+A backend is a callable invoked once per layer inside the scanned model
+body. It both *writes* the step's new KV into the paged pool slice and
+*reads* the whole context for attention — fusing write+read into one kernel
+is exactly what the Pallas backend does; the XLA backend composes the same
+semantics from gather/scatter.
+"""
+
+from __future__ import annotations
+
+import abc
+
+import jax
+
+from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
+
+
+class AttentionBackend(abc.ABC):
+    """Stateless per-layer paged attention.
+
+    Shapes:
+        q, k_new, v_new : [B, T, H(q|kv), D]   (post-RoPE)
+        layer_kv        : [P, page_size, 2*Hkv, D]  (K/V interleaved per head)
+    Returns (attn_out [B, T, Hq, D], updated layer_kv).
+    """
+
+    @abc.abstractmethod
+    def __call__(
+        self,
+        q: jax.Array,
+        k_new: jax.Array,
+        v_new: jax.Array,
+        layer_kv: jax.Array,
+        meta: ForwardMeta,
+        scale: float,
+    ):
+        ...
+
+
+def write_kv_pages(
+    k_new: jax.Array,
+    v_new: jax.Array,
+    layer_kv: jax.Array,
+    meta: ForwardMeta,
+) -> jax.Array:
+    """Scatter this step's K/V into the paged pool.
+
+    Padding tokens (t >= extend_lens[b]) are routed to the garbage page 0 so
+    the scatter stays branch-free (allocator.py GARBAGE_PAGE).
+    """
+    import jax.numpy as jnp
+
+    B, T = k_new.shape[:2]
+    P, ps, two_hkv, D = layer_kv.shape
+    pos = meta.positions  # [B, T]
+    page = jnp.take_along_axis(meta.page_table, pos // ps, axis=1)  # [B, T]
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+        < meta.extend_lens[:, None]
+    )
+    slots = jnp.where(valid, page * ps + pos % ps, pos % ps)  # garbage page = 0
+    kv_new = jnp.stack([k_new, v_new], axis=3).reshape(B, T, two_hkv, D)
+    flat = layer_kv.reshape(P * ps, two_hkv, D)
+    flat = flat.at[slots.reshape(-1)].set(
+        kv_new.reshape(B * T, two_hkv, D).astype(layer_kv.dtype), mode="drop"
+    )
+    return flat.reshape(P, ps, two_hkv, D)

@@ -1,0 +1,62 @@
+"""Pure-XLA paged attention reference backend.
+
+Analog of the reference's torch_native_backend.py (srt/layers/attention/
+torch_native_backend.py — the pure-SDPA correctness reference among its
+backend zoo, §2.5). Used for correctness tests on CPU and as the fallback
+when the Pallas kernel doesn't support a geometry. Gathers the full padded
+context per request, so HBM traffic is O(B * padded_kv_len) — the Pallas
+ragged backend is the production path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sglang_custom_tpu.layers.attention.base import AttentionBackend, write_kv_pages
+from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
+
+_NEG_INF = -1e30
+
+
+class XlaAttentionBackend(AttentionBackend):
+    def __call__(
+        self,
+        q: jax.Array,
+        k_new: jax.Array,
+        v_new: jax.Array,
+        layer_kv: jax.Array,
+        meta: ForwardMeta,
+        scale: float,
+    ):
+        layer_kv = write_kv_pages(k_new, v_new, layer_kv, meta)
+
+        B, T, Hq, D = q.shape
+        P, ps, two_hkv, _ = layer_kv.shape
+        Hkv = two_hkv // 2
+        G = Hq // Hkv
+        S = meta.page_table.shape[1] * ps  # padded context length (bucketed)
+
+        # Gather the pages of every request: [B, PMAX, ps, 2Hkv, D]
+        gathered = layer_kv[meta.page_table]
+        kv = gathered.reshape(B, S, Hkv, 2, D)
+        k = kv[..., 0, :]  # [B, S, Hkv, D]
+        v = kv[..., 1, :]
+
+        qg = q.reshape(B, T, Hkv, G, D)
+        scores = jnp.einsum(
+            "btkgd,bskd->bktgs", qg, k, preferred_element_type=jnp.float32
+        ) * scale  # [B, Hkv, T, G? ...] -> [B, Hkv, T, G, S]
+
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, 1, S), 4)
+        q_pos = meta.positions[:, None, :, None, None]  # [B, 1, T, 1, 1]
+        seq_l = meta.seq_lens[:, None, None, None, None]
+        mask = (kv_pos <= q_pos) & (kv_pos < seq_l)
+        scores = jnp.where(mask, scores, _NEG_INF)
+
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "bktgs,bskd->btkgd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(B, T, Hq, D).astype(q.dtype), layer_kv

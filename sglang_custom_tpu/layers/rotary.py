@@ -1,0 +1,65 @@
+"""Rotary position embeddings.
+
+Analog of the reference's rotary_embedding.py (1504 LoC of RoPE variants,
+srt/layers/rotary_embedding.py). We implement the HF Llama convention
+(half-split rotate, not interleaved) so HF checkpoints load without
+permutation, plus the llama3 frequency-scaling variant.
+
+Cos/sin are computed on the fly from positions in fp32 — on TPU this is a
+few VPU transcendentals fused into the surrounding ops, cheaper than an
+HBM-resident table gather.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_custom_tpu.config.model_config import ModelConfig
+
+
+def rope_inv_freq(cfg: ModelConfig) -> np.ndarray:
+    """Per-pair inverse frequencies [head_dim/2], with llama3 scaling."""
+    d = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    rs = cfg.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        factor = rs["factor"]
+        low_freq_factor = rs["low_freq_factor"]
+        high_freq_factor = rs["high_freq_factor"]
+        old_len = rs["original_max_position_embeddings"]
+        low_wavelen = old_len / low_freq_factor
+        high_wavelen = old_len / high_freq_factor
+        wavelen = 2 * np.pi / inv_freq
+        scaled = inv_freq / factor
+        smooth = (old_len / wavelen - low_freq_factor) / (
+            high_freq_factor - low_freq_factor
+        )
+        smoothed = (1 - smooth) * scaled + smooth * inv_freq
+        inv_freq = np.where(
+            wavelen > low_wavelen,
+            scaled,
+            np.where(wavelen < high_wavelen, inv_freq, smoothed),
+        )
+    elif rs and rs.get("rope_type", rs.get("type")) == "linear":
+        inv_freq = inv_freq / rs["factor"]
+    return inv_freq.astype(np.float32)
+
+
+def rope_cos_sin(positions: jnp.ndarray, inv_freq: jnp.ndarray):
+    """positions [...,] int32 -> (cos, sin) each [..., head_dim/2] fp32."""
+    angles = positions[..., None].astype(jnp.float32) * inv_freq
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """HF half-split convention. x: [..., heads, head_dim]; cos/sin broadcast
+    over the heads axis ([..., head_dim/2])."""
+    d2 = x.shape[-1] // 2
+    x1 = x[..., :d2].astype(jnp.float32)
+    x2 = x[..., d2:].astype(jnp.float32)
+    c = cos[..., None, :]
+    s = sin[..., None, :]
+    out1 = x1 * c - x2 * s
+    out2 = x2 * c + x1 * s
+    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)

@@ -1,0 +1,73 @@
+"""On-device token sampler.
+
+Analog of the reference's Sampler (srt/layers/sampler.py:29 — greedy fast
+path, temperature scaling, top-k/top-p/min-p filtering via flashinfer CUDA
+kernels). TPU design: the whole sampler runs *inside* the jitted step so
+sampled token ids never bounce through the host between decode iterations.
+Filtering uses one sort + cumulative sum (XLA maps these to efficient TPU
+sort networks); the categorical draw uses the Gumbel-argmax trick, which
+needs no renormalization after masking.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+_NEG_INF = -1e30
+
+
+@struct.dataclass
+class SamplingMeta:
+    """Per-row sampling controls, padded to the batch bucket."""
+
+    temperature: jax.Array  # [B] f32; 0 => greedy
+    top_k: jax.Array        # [B] i32; vocab_size => disabled
+    top_p: jax.Array        # [B] f32; 1.0 => disabled
+    min_p: jax.Array        # [B] f32; 0.0 => disabled
+
+
+def sample(
+    logits: jax.Array,  # [B, V] f32
+    meta: SamplingMeta,
+    key: jax.Array,
+) -> jax.Array:
+    """Returns sampled token ids [B] int32."""
+    B, V = logits.shape
+    needs_filter = True  # single traced path; masks no-op when disabled
+
+    # Sort once (descending); derive top-k / top-p / min-p masks in sorted
+    # order, then scatter back via argsort of the sort permutation.
+    sort_idx = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+
+    rank = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    keep = rank < meta.top_k[:, None]
+    # top-p: keep the smallest prefix whose mass reaches top_p (always keep
+    # the first token).
+    keep &= (cum - sorted_probs) < meta.top_p[:, None]
+    keep |= rank == 0
+    # min-p: drop tokens below min_p * p_max.
+    keep &= sorted_probs >= meta.min_p[:, None] * sorted_probs[:, :1]
+
+    sorted_masked = jnp.where(keep, sorted_logits, _NEG_INF)
+    inv = jnp.argsort(sort_idx, axis=-1)
+    masked_logits = jnp.take_along_axis(sorted_masked, inv, axis=-1)
+
+    greedy = meta.temperature[:, None] == 0.0
+    temp = jnp.where(greedy, 1.0, meta.temperature[:, None])
+    z = masked_logits / temp
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(
+        key, (B, V), dtype=jnp.float32, minval=1e-20, maxval=1.0
+    )))
+    perturbed = jnp.where(greedy, logits, z + gumbel)
+    return jnp.argmax(perturbed, axis=-1).astype(jnp.int32)
+
+
+def compute_token_logprobs(logits: jax.Array, token_ids: jax.Array) -> jax.Array:
+    """Log-softmax probability of chosen tokens. logits [B,V], ids [B]."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.take_along_axis(logp, token_ids[:, None], axis=-1)[:, 0]

@@ -1,0 +1,228 @@
+"""Request state machine and host-side batch construction.
+
+Analog of the reference's Req / ScheduleBatch
+(reference: srt/managers/schedule_batch.py:409 Req with finish reasons
+:118-175, :791 ScheduleBatch, prepare_for_extend :1106, retract_decode
+:1362). TPU-first differences:
+
+- Batch state is plain numpy on the host; each step materializes a fresh
+  padded ``HostBatch`` (token ids, positions, page table, seq lens) which
+  the runner ships to the device. There is no persistent device-side
+  req_to_token pool to keep coherent — page tables are tiny.
+- KV bookkeeping is at page granularity (see mem_cache/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from sglang_custom_tpu.mem_cache.radix_cache import TreeNode
+from sglang_custom_tpu.sampling.sampling_params import SamplingParams
+
+
+class ReqStatus(enum.Enum):
+    WAITING = enum.auto()
+    RUNNING = enum.auto()
+    FINISHED = enum.auto()
+    ABORTED = enum.auto()
+
+
+class FinishReason(enum.Enum):
+    EOS = "stop"            # eos / stop token
+    STOP_STR = "stop_str"
+    LENGTH = "length"       # max_new_tokens or context limit
+    ABORT = "abort"
+
+
+class Req:
+    """One generation request (reference: schedule_batch.py:409)."""
+
+    def __init__(
+        self,
+        rid: str,
+        input_ids: List[int],
+        sampling_params: SamplingParams,
+        eos_token_ids: Optional[set] = None,
+        arrival_time: Optional[float] = None,
+    ):
+        self.rid = rid
+        self.input_ids = list(input_ids)
+        self.sampling_params = sampling_params
+        self.eos_token_ids = eos_token_ids or set()
+        self.arrival_time = arrival_time if arrival_time is not None else time.monotonic()
+
+        self.output_ids: List[int] = []
+        self.status = ReqStatus.WAITING
+        self.finish_reason: Optional[FinishReason] = None
+
+        # KV state
+        self.page_list: List[int] = []   # pages backing fill_ids[:computed_len]
+        self.cached_len = 0              # leading tokens whose pages the tree owns
+        self.computed_len = 0            # tokens with KV computed
+        self.last_node: Optional[TreeNode] = None
+        self.is_chunked = False          # mid-chunked-prefill
+
+        # Stats
+        self.queued_time: Optional[float] = None
+        self.first_token_time: Optional[float] = None
+        self.finished_time: Optional[float] = None
+        self.cached_tokens = 0           # prefix tokens served from cache
+
+    # ------------------------------------------------------------------
+
+    @property
+    def fill_ids(self) -> List[int]:
+        """All tokens that must have KV: prompt + generated so far."""
+        return self.input_ids + self.output_ids
+
+    @property
+    def seq_len(self) -> int:
+        return len(self.input_ids) + len(self.output_ids)
+
+    @property
+    def prompt_len(self) -> int:
+        return len(self.input_ids)
+
+    @property
+    def remaining_prefill(self) -> int:
+        """Prompt (+retracted output) tokens still needing KV computation.
+        Note the last fill token's KV is computed together with its logits,
+        so 'prefill complete' means computed_len == len(fill_ids)."""
+        return len(self.fill_ids) - self.computed_len
+
+    @property
+    def finished(self) -> bool:
+        return self.status in (ReqStatus.FINISHED, ReqStatus.ABORTED)
+
+    def own_pages(self, page_size: int) -> List[int]:
+        return self.page_list[self.cached_len // page_size :]
+
+    def check_finished(self, context_len: int) -> None:
+        """Reference: schedule_batch.py check_finished / finish reasons."""
+        if self.finished:
+            return
+        sp = self.sampling_params
+        if len(self.output_ids) >= sp.max_new_tokens:
+            self._finish(FinishReason.LENGTH)
+            return
+        if self.seq_len >= context_len:
+            self._finish(FinishReason.LENGTH)
+            return
+        if self.output_ids:
+            last = self.output_ids[-1]
+            if not sp.ignore_eos and last in self.eos_token_ids:
+                self._finish(FinishReason.EOS)
+                return
+            if last in sp.stop_token_ids:
+                self._finish(FinishReason.EOS)
+                return
+
+    def _finish(self, reason: FinishReason) -> None:
+        self.status = ReqStatus.FINISHED
+        self.finish_reason = reason
+        self.finished_time = time.monotonic()
+
+    def reset_for_retract(self) -> None:
+        """Release-and-requeue state reset (reference: retract_decode
+        schedule_batch.py:1362). Generated tokens are kept and re-prefilled."""
+        self.page_list = []
+        self.cached_len = 0
+        self.computed_len = 0
+        self.last_node = None
+        self.is_chunked = False
+        self.status = ReqStatus.WAITING
+
+    def __repr__(self):
+        return (
+            f"Req({self.rid}, prompt={self.prompt_len}, out={len(self.output_ids)}, "
+            f"computed={self.computed_len}, status={self.status.name})"
+        )
+
+
+@dataclasses.dataclass
+class HostBatch:
+    """Numpy-side batch for one forward step; padded by the runner."""
+
+    reqs: List[Req]
+    is_extend: bool
+    token_ids: np.ndarray     # [B, T]
+    positions: np.ndarray     # [B, T]
+    page_table: np.ndarray    # [B, PMAX]
+    seq_lens: np.ndarray      # [B]
+    extend_lens: np.ndarray   # [B]
+    # sampling
+    temperature: np.ndarray   # [B]
+    top_k: np.ndarray         # [B]
+    top_p: np.ndarray         # [B]
+    min_p: np.ndarray         # [B]
+
+    @property
+    def batch_size(self) -> int:
+        return len(self.reqs)
+
+
+def build_batch(
+    reqs: List[Req],
+    extend_lens: List[int],
+    page_size: int,
+    vocab_size: int,
+    is_extend: bool,
+) -> HostBatch:
+    """Materialize the step's HostBatch from request state.
+
+    ``extend_lens[i]`` tokens starting at ``reqs[i].computed_len`` are
+    computed this step (decode: 1 token = last sampled output).
+    """
+    # Snapshot: the caller may mutate its running list while results are
+    # processed against this batch's row order.
+    reqs = list(reqs)
+    B = len(reqs)
+    T = max(extend_lens)
+    max_pages = max(
+        (r.computed_len + e + page_size - 1) // page_size
+        for r, e in zip(reqs, extend_lens)
+    )
+    max_pages = max(max_pages, 1)
+
+    token_ids = np.zeros((B, T), dtype=np.int32)
+    positions = np.zeros((B, T), dtype=np.int32)
+    page_table = np.zeros((B, max_pages), dtype=np.int32)
+    seq_lens = np.zeros((B,), dtype=np.int32)
+    ext = np.asarray(extend_lens, dtype=np.int32)
+    temperature = np.zeros((B,), dtype=np.float32)
+    top_k = np.zeros((B,), dtype=np.int32)
+    top_p = np.ones((B,), dtype=np.float32)
+    min_p = np.zeros((B,), dtype=np.float32)
+
+    for i, (r, e) in enumerate(zip(reqs, extend_lens)):
+        fill = r.fill_ids
+        toks = fill[r.computed_len : r.computed_len + e]
+        token_ids[i, :e] = toks
+        positions[i, :e] = np.arange(r.computed_len, r.computed_len + e)
+        pages = r.page_list
+        page_table[i, : len(pages)] = pages
+        seq_lens[i] = r.computed_len + e
+        sp = r.sampling_params
+        temperature[i] = sp.temperature
+        top_k[i] = sp.top_k if sp.top_k > 0 else vocab_size
+        top_p[i] = sp.top_p
+        min_p[i] = sp.min_p
+
+    return HostBatch(
+        reqs=reqs,
+        is_extend=is_extend,
+        token_ids=token_ids,
+        positions=positions,
+        page_table=page_table,
+        seq_lens=seq_lens,
+        extend_lens=ext,
+        temperature=temperature,
+        top_k=top_k,
+        top_p=top_p,
+        min_p=min_p,
+    )

@@ -1,0 +1,343 @@
+"""Continuous-batching scheduler.
+
+Analog of the reference's Scheduler (reference: srt/managers/scheduler.py:225
+— event loops :797/:819, intake :1094, get_new_batch_prefill :1673, decode
+update :1828, run_batch :1868, retraction via retract_decode
+schedule_batch.py:1362). TPU-first differences:
+
+- **Single-controller**: one scheduler drives the whole mesh; there is no
+  per-rank process tree, no ZMQ broadcast of batch plans (engine.py:685's
+  process topology collapses — SURVEY.md §7 design stance).
+- Prefill admission, page allocation, radix-tree ops are all host-side
+  Python/numpy; the device only ever sees padded page tables.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from sglang_custom_tpu.config.server_args import ServerArgs
+from sglang_custom_tpu.managers.schedule_batch import (
+    FinishReason,
+    HostBatch,
+    Req,
+    ReqStatus,
+    build_batch,
+)
+from sglang_custom_tpu.managers.schedule_policy import PrefillBudget, SchedulePolicy
+from sglang_custom_tpu.mem_cache.allocator import PageAllocator
+from sglang_custom_tpu.mem_cache.chunk_cache import ChunkCache
+from sglang_custom_tpu.mem_cache.radix_cache import RadixCache
+from sglang_custom_tpu.model_executor.model_runner import ModelRunner
+from sglang_custom_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class Scheduler:
+    def __init__(self, server_args: ServerArgs, model_runner: ModelRunner):
+        self.server_args = server_args
+        self.runner = model_runner
+        self.page_size = server_args.page_size
+
+        self.allocator = PageAllocator(model_runner.num_pages, self.page_size)
+        cache_cls = ChunkCache if server_args.disable_radix_cache else RadixCache
+        self.tree_cache = cache_cls(self.page_size, self.allocator.free)
+        self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
+
+        self.waiting_queue: List[Req] = []
+        self.running_batch: List[Req] = []
+        self.chunked_req: Optional[Req] = None
+
+        # Stats (reference: SchedulerMetricsCollector gauges)
+        self.num_generated_tokens = 0
+        self.num_prefill_tokens = 0
+        self.num_retractions = 0
+        self.num_cached_tokens = 0
+
+    # ------------------------------------------------------------- intake
+
+    def add_request(self, req: Req) -> None:
+        assert req.status == ReqStatus.WAITING
+        if req.prompt_len >= self.runner.context_len:
+            req.status = ReqStatus.ABORTED
+            req.finish_reason = FinishReason.LENGTH
+            logger.warning("req %s prompt longer than context; aborted", req.rid)
+            return
+        self.waiting_queue.append(req)
+
+    def abort_request(self, rid: str) -> bool:
+        for r in self.waiting_queue:
+            if r.rid == rid:
+                r.status = ReqStatus.ABORTED
+                r.finish_reason = FinishReason.ABORT
+                self.waiting_queue.remove(r)
+                return True
+        for r in self.running_batch:
+            if r.rid == rid:
+                r.status = ReqStatus.ABORTED
+                r.finish_reason = FinishReason.ABORT
+                self._release_req_kv(r)
+                self.running_batch.remove(r)
+                return True
+        return False
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.waiting_queue or self.running_batch or self.chunked_req)
+
+    # ------------------------------------------------------------- main loop
+
+    def step(self) -> List[Req]:
+        """One scheduler iteration ≈ one forward pass. Returns requests that
+        produced a token or finished this step (for streaming)."""
+        batch = self._get_next_batch()
+        if batch is None:
+            return []
+        tokens, logprobs = self.runner.forward(batch)
+        return self._process_result(batch, tokens, logprobs)
+
+    # ------------------------------------------------------- batch formation
+
+    def _get_next_batch(self) -> Optional[HostBatch]:
+        # Prefill has priority (reference: get_next_batch_to_run :1608).
+        batch = self._get_prefill_batch()
+        if batch is not None:
+            return batch
+        return self._get_decode_batch()
+
+    def _get_prefill_batch(self) -> Optional[HostBatch]:
+        reqs: List[Req] = []
+        extend_lens: List[int] = []
+
+        # A mid-flight chunked request always continues first
+        # (reference: PrefillAdder.add_chunked_req :382).
+        budget = PrefillBudget(
+            self.server_args.max_prefill_tokens,
+            self.server_args.max_running_requests - len(self.running_batch),
+        )
+        if self.chunked_req is not None:
+            r = self.chunked_req
+            ext = min(r.remaining_prefill, self.server_args.chunked_prefill_size,
+                      budget.rem_tokens)
+            if ext > 0 and self._extend_req_pages(r, ext):
+                reqs.append(r)
+                extend_lens.append(ext)
+                budget.take(ext)
+                if ext == r.remaining_prefill:
+                    r.is_chunked = False
+                    self.chunked_req = None
+            # If pages can't be allocated, fall through: decode will retract.
+
+        if self.chunked_req is None:
+            self.policy.calc_priority(self.waiting_queue)
+            admitted = []
+            for r in self.waiting_queue:
+                if not budget.can_add():
+                    break
+                if not self._admit_req(r, budget, reqs, extend_lens):
+                    break
+                admitted.append(r)
+                if r.is_chunked:
+                    # Only one chunked request per batch; it must be last.
+                    break
+            for r in admitted:
+                self.waiting_queue.remove(r)
+
+        if not reqs:
+            return None
+        for r in reqs:
+            r.status = ReqStatus.RUNNING
+        return build_batch(
+            reqs, extend_lens, self.page_size, self.runner.cfg.vocab_size,
+            is_extend=True,
+        )
+
+    def _admit_req(
+        self,
+        r: Req,
+        budget: PrefillBudget,
+        reqs: List[Req],
+        extend_lens: List[int],
+    ) -> bool:
+        """Match prefix, allocate pages, and add to the prefill batch.
+        Returns False to stop admission (memory or budget pressure)."""
+        m = self.tree_cache.match_prefix(r.fill_ids)
+        # Never serve the *entire* fill from cache: the last token must be
+        # recomputed to produce logits (reference: schedule_policy.py trims
+        # the full-hit case).
+        max_cached = ((len(r.fill_ids) - 1) // self.page_size) * self.page_size
+        cached_len = min(m.matched_len, max_cached)
+        pages = m.pages[: cached_len // self.page_size]
+
+        remaining = len(r.fill_ids) - cached_len
+        ext = min(remaining, self.server_args.chunked_prefill_size, budget.rem_tokens)
+        if ext <= 0:
+            return False
+        # Memory feasibility: pages for this extend (+ the whole batch keeps
+        # decoding after) — conservative check mirroring PrefillAdder's
+        # rem_total_tokens.
+        new_pages_needed = (
+            (cached_len + ext + self.page_size - 1) // self.page_size - len(pages)
+        )
+        if not self._ensure_free_pages(new_pages_needed):
+            return False
+
+        new_pages = self.allocator.alloc(new_pages_needed)
+        assert new_pages is not None
+        r.cached_len = cached_len
+        r.computed_len = cached_len
+        r.cached_tokens = cached_len
+        self.num_cached_tokens += cached_len
+        r.page_list = list(pages) + new_pages
+        r.last_node = m.last_node
+        self.tree_cache.inc_lock_ref(m.last_node)
+
+        if ext < remaining:
+            r.is_chunked = True
+            self.chunked_req = r
+        reqs.append(r)
+        extend_lens.append(ext)
+        budget.take(ext)
+        self.num_prefill_tokens += ext
+        return True
+
+    def _extend_req_pages(self, r: Req, ext: int) -> bool:
+        """Grow r.page_list to cover computed_len + ext tokens."""
+        needed = (
+            (r.computed_len + ext + self.page_size - 1) // self.page_size
+            - len(r.page_list)
+        )
+        if needed <= 0:
+            return True
+        if not self._ensure_free_pages(needed):
+            return False
+        pages = self.allocator.alloc(needed)
+        assert pages is not None
+        r.page_list.extend(pages)
+        return True
+
+    def _ensure_free_pages(self, n: int) -> bool:
+        """Evict from the radix tree until n pages are free."""
+        if self.allocator.available_pages >= n:
+            return True
+        shortfall = (n - self.allocator.available_pages) * self.page_size
+        self.tree_cache.evict(shortfall)
+        return self.allocator.available_pages >= n
+
+    def _get_decode_batch(self) -> Optional[HostBatch]:
+        if not self.running_batch:
+            return None
+        # Ensure every request has a page for its next token; retract on
+        # pressure (reference: update_running_batch :1828 + retract_decode).
+        i = 0
+        while i < len(self.running_batch):
+            r = self.running_batch[i]
+            if not self._extend_req_pages(r, 1):
+                self._retract_one()
+                # _retract_one pops from the tail; current r may have moved.
+                continue
+            i += 1
+        if not self.running_batch:
+            return None
+        return build_batch(
+            self.running_batch,
+            [1] * len(self.running_batch),
+            self.page_size,
+            self.runner.cfg.vocab_size,
+            is_extend=False,
+        )
+
+    def _retract_one(self) -> None:
+        """Send the youngest running request back to the waiting queue and
+        release its KV (reference: retract_decode schedule_batch.py:1362)."""
+        assert self.running_batch
+        victim = max(self.running_batch, key=lambda r: r.arrival_time)
+        self.running_batch.remove(victim)
+        self._release_req_kv(victim)
+        victim.reset_for_retract()
+        self.waiting_queue.insert(0, victim)
+        self.num_retractions += 1
+        logger.info("retracted req %s under memory pressure", victim.rid)
+
+    def _release_req_kv(self, r: Req) -> None:
+        self.allocator.free(r.own_pages(self.page_size))
+        if r.last_node is not None:
+            self.tree_cache.dec_lock_ref(r.last_node)
+        r.page_list = []
+        r.last_node = None
+
+    # ------------------------------------------------------------- results
+
+    def _process_result(self, batch: HostBatch, tokens, logprobs) -> List[Req]:
+        updated: List[Req] = []
+        for i, r in enumerate(batch.reqs):
+            ext = int(batch.extend_lens[i])
+            r.computed_len += ext
+            if batch.is_extend and r.is_chunked:
+                # Mid-prompt chunk: the sampled token is meaningless; publish
+                # the computed KV so concurrent requests can share it.
+                self._publish_unfinished(r)
+                continue
+            if len(r.output_ids) >= r.sampling_params.max_new_tokens:
+                # max_new_tokens == 0: finish right after prefill, drop the
+                # sampled token.
+                r.check_finished(self.runner.context_len)
+                if not r.finished:
+                    r._finish(FinishReason.LENGTH)
+                self._finalize_req(r)
+                if r in self.running_batch:
+                    self.running_batch.remove(r)
+                updated.append(r)
+                continue
+            tok = int(tokens[i])
+            r.output_ids.append(tok)
+            self.num_generated_tokens += 1
+            if r.first_token_time is None:
+                import time as _t
+
+                r.first_token_time = _t.monotonic()
+            r.check_finished(self.runner.context_len)
+            if r.finished:
+                self._finalize_req(r)
+                if r in self.running_batch:
+                    self.running_batch.remove(r)
+            elif batch.is_extend:
+                self.running_batch.append(r)
+            updated.append(r)
+        return updated
+
+    def _publish_unfinished(self, r: Req) -> None:
+        tokens = r.fill_ids[: r.computed_len]
+        new_pages, new_cached, new_node = self.tree_cache.cache_unfinished_req(
+            tokens, r.page_list, r.cached_len, r.last_node
+        )
+        r.page_list = new_pages
+        r.cached_len = new_cached
+        r.last_node = new_node
+
+    def _finalize_req(self, r: Req) -> None:
+        tokens = r.fill_ids[: r.computed_len]
+        self.tree_cache.cache_finished_req(
+            tokens, r.page_list, r.cached_len, r.last_node
+        )
+        r.page_list = []
+        r.last_node = None
+
+    # ------------------------------------------------------------- debug
+
+    def check_memory(self) -> None:
+        """Idle-time leak check (reference: scheduler.py:1496 check_memory)."""
+        assert not self.has_work
+        assert self.allocator.check_leaks(expected_in_use=self._tree_pages()), (
+            f"page leak: free={self.allocator.available_pages} "
+            f"tree={self._tree_pages()} total={self.allocator.num_pages}"
+        )
+        self.tree_cache.sanity_check()
+
+    def _tree_pages(self) -> int:
+        if isinstance(self.tree_cache, ChunkCache):
+            return 0
+        return sum(
+            len(n.pages) for n in self.tree_cache._iter_nodes()
+        )

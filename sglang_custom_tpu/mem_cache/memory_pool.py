@@ -1,0 +1,117 @@
+"""Device-side paged KV cache pool.
+
+TPU-native re-design of the reference's KV pools
+(reference: srt/mem_cache/memory_pool.py:101 KVCache / :178 MHATokenToKVPool
+— per-layer K/V torch tensors indexed at token granularity). Here the pool
+is a single fused jax array with layout
+
+    kv[L, num_pages, page_size, 2 * num_kv_heads, head_dim]
+
+K and V for kv-head h are interleaved at indices (2h, 2h+1). This layout is
+chosen for the Pallas ragged-paged-attention kernel: one page DMA fetches
+the K and V of a head together, and the last two dims form MXU/VPU-friendly
+(page_size, head_dim) tiles. The array is *donated* through every jitted
+step so XLA aliases the buffer in place — the functional-update analog of
+the reference mutating torch tensors.
+
+Sharding: kv heads are split over the ``tensor`` mesh axis (same axis as
+attention heads in the weights), so KV never moves across chips during
+attention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_custom_tpu.config.model_config import ModelConfig
+from sglang_custom_tpu.parallel.mesh import MeshContext, TENSOR_AXIS
+
+
+def kv_cache_shape(cfg: ModelConfig, num_pages: int, page_size: int):
+    return (cfg.num_layers, num_pages, page_size, 2 * cfg.num_kv_heads, cfg.head_dim)
+
+
+def kv_cache_sharding(mesh_ctx: MeshContext, num_kv_heads: int):
+    """Shard the kv-head axis over ``tensor`` when divisible, else replicate."""
+    if (2 * num_kv_heads) % mesh_ctx.tp_size == 0 and mesh_ctx.tp_size > 1:
+        return mesh_ctx.sharding(None, None, None, TENSOR_AXIS, None)
+    return mesh_ctx.replicated
+
+
+@dataclasses.dataclass
+class KVCachePool:
+    """Owns the device KV array and its geometry."""
+
+    kv: jax.Array  # [L, P, page_size, 2*Hkv, D]
+    page_size: int
+
+    @property
+    def num_pages(self) -> int:
+        return self.kv.shape[1]
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.kv.shape[3] // 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.kv.shape[4]
+
+    @staticmethod
+    def create(
+        cfg: ModelConfig,
+        num_pages: int,
+        page_size: int,
+        dtype: jnp.dtype,
+        mesh_ctx: MeshContext,
+    ) -> "KVCachePool":
+        shape = kv_cache_shape(cfg, num_pages, page_size)
+        sharding = kv_cache_sharding(mesh_ctx, cfg.num_kv_heads)
+        kv = jax.device_put(jnp.zeros(shape, dtype=dtype), sharding)
+        return KVCachePool(kv=kv, page_size=page_size)
+
+    def mem_bytes(self) -> int:
+        return self.kv.size * self.kv.dtype.itemsize
+
+
+class ReqSlotPool:
+    """Host-side request-slot bookkeeping.
+
+    Analog of the reference's ReqToTokenPool (mem_cache/memory_pool.py:51),
+    except the table maps request slots to *page ids* (not token slots):
+
+        page_table_np[slot, i] = id of the i-th KV page of that request
+
+    Only rows of active slots are gathered into the per-step device batch.
+    """
+
+    def __init__(self, max_reqs: int, max_pages_per_req: int):
+        self.max_reqs = max_reqs
+        self.max_pages_per_req = max_pages_per_req
+        self.page_table_np = np.zeros((max_reqs, max_pages_per_req), dtype=np.int32)
+        self._free_slots = list(range(max_reqs - 1, -1, -1))
+
+    @property
+    def available_slots(self) -> int:
+        return len(self._free_slots)
+
+    def alloc_slot(self) -> int:
+        if not self._free_slots:
+            raise RuntimeError("out of request slots")
+        slot = self._free_slots.pop()
+        self.page_table_np[slot, :] = 0
+        return slot
+
+    def free_slot(self, slot: int) -> None:
+        self._free_slots.append(slot)
+
+    def write_pages(self, slot: int, start_page: int, pages) -> None:
+        end = start_page + len(pages)
+        assert end <= self.max_pages_per_req, (
+            f"request exceeds max context: needs page {end}, cap {self.max_pages_per_req}"
+        )
+        self.page_table_np[slot, start_page:end] = pages

@@ -1,0 +1,45 @@
+"""Device-side batch metadata for a forward step.
+
+Analog of the reference's ForwardBatch / ForwardMode
+(reference: srt/model_executor/forward_batch_info.py:61,156). TPU-first
+differences:
+
+- One *unified* batch geometry ``[B, T]`` covers both EXTEND and DECODE
+  (decode is simply T=1): a single traced program serves both modes, and the
+  runner buckets on (B, T, kv_pages) instead of capturing CUDA graphs
+  (reference: cuda_graph_runner.py:138 get_batch_sizes_to_capture).
+- All fields are static-shaped, padded to the bucket; padding rows have
+  ``seq_lens == 0`` and their KV writes land in the garbage page.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax
+from flax import struct
+
+
+class ForwardMode(enum.Enum):
+    EXTEND = enum.auto()
+    DECODE = enum.auto()
+    IDLE = enum.auto()
+
+
+@struct.dataclass
+class ForwardMeta:
+    """Traced metadata shipped to the jitted step. Shapes fixed per bucket."""
+
+    token_ids: jax.Array   # [B, T] int32; padding = 0
+    positions: jax.Array   # [B, T] int32 absolute position of each token
+    page_table: jax.Array  # [B, PMAX] int32 page ids (garbage page 0 pads)
+    seq_lens: jax.Array    # [B] int32 total tokens (incl. this step's); 0 = padding row
+    extend_lens: jax.Array # [B] int32 new tokens this step (decode: 1)
+
+    @property
+    def batch_size(self) -> int:
+        return self.token_ids.shape[0]
+
+    @property
+    def extend_len(self) -> int:
+        return self.token_ids.shape[1]

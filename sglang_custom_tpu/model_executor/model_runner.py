@@ -1,0 +1,184 @@
+"""Model execution engine: bucketed jit steps over the device mesh.
+
+Analog of the reference's ModelRunner + CudaGraphRunner
+(reference: srt/model_executor/model_runner.py:151 — init dist env, load
+model, size KV pool :935/:1054, capture CUDA graphs :1410, forward :1535,
+sample :1616; cuda_graph_runner.py:203). TPU-first design:
+
+- **Bucketed jit replaces CUDA graphs**: batches are padded to a small set
+  of (batch, tokens, kv-pages) buckets; `jax.jit` caches one XLA executable
+  per bucket (the analog of get_batch_sizes_to_capture,
+  cuda_graph_runner.py:138). Padding rows cost FLOPs, not recompiles.
+- **KV donation**: the paged KV pool is donated through every step, so XLA
+  updates it in place — the functional equivalent of the reference mutating
+  its torch pools.
+- **Sampling fused into the step** (reference runs Sampler as a separate
+  call :1616): token ids are produced on-device in the same executable, and
+  fetched asynchronously by the scheduler.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_custom_tpu.config.model_config import ModelConfig
+from sglang_custom_tpu.config.server_args import ServerArgs
+from sglang_custom_tpu.layers.attention.xla_backend import XlaAttentionBackend
+from sglang_custom_tpu.layers.sampler import SamplingMeta, compute_token_logprobs, sample
+from sglang_custom_tpu.managers.schedule_batch import HostBatch
+from sglang_custom_tpu.mem_cache.memory_pool import KVCachePool
+from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
+from sglang_custom_tpu.models import llama as llama_mod
+from sglang_custom_tpu.parallel.mesh import MeshContext
+from sglang_custom_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+_DTYPES = {
+    "bfloat16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "float16": jnp.float16,
+}
+
+
+def next_bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return pow2_bucket(n)  # beyond the configured buckets: next power of two
+
+
+def pow2_bucket(n: int, lo: int = 1) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        cfg: ModelConfig,
+        params: dict,
+        mesh_ctx: MeshContext,
+        num_pages: Optional[int] = None,
+    ):
+        self.server_args = server_args
+        self.cfg = cfg
+        self.params = params
+        self.mesh_ctx = mesh_ctx
+        self.dtype = _DTYPES[server_args.dtype]
+        self.kv_dtype = _DTYPES.get(server_args.kv_cache_dtype, jnp.bfloat16)
+        self.page_size = server_args.page_size
+        self.attn_backend = XlaAttentionBackend()
+
+        self.context_len = server_args.context_length or cfg.max_position_embeddings
+        self.max_pages_per_req = (
+            self.context_len + self.page_size - 1
+        ) // self.page_size
+
+        num_pages = num_pages or server_args.max_num_pages or self._profile_num_pages()
+        self.kv_pool = KVCachePool.create(
+            cfg, num_pages, self.page_size, self.kv_dtype, mesh_ctx
+        )
+        logger.info(
+            "KV pool: %d pages x %d tokens (%.2f GiB)",
+            num_pages,
+            self.page_size,
+            self.kv_pool.mem_bytes() / 2**30,
+        )
+        self._step_counter = 0
+        self._base_key = jax.random.PRNGKey(server_args.random_seed)
+
+    # ------------------------------------------------------------- mem sizing
+
+    def _profile_num_pages(self) -> int:
+        """Size the KV pool from free device memory
+        (reference: model_runner.py:935 profile_max_num_token)."""
+        cfg = self.cfg
+        page_bytes = (
+            cfg.num_layers
+            * self.page_size
+            * 2
+            * cfg.num_kv_heads
+            * cfg.head_dim
+            * jnp.dtype(self.kv_dtype).itemsize
+        ) // max(self.mesh_ctx.tp_size, 1)
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            limit = stats["bytes_limit"]
+            in_use = stats.get("bytes_in_use", 0)
+            budget = int(limit * self.server_args.mem_fraction_static) - in_use
+        except Exception:
+            budget = 1 << 30  # CPU tests: 1 GiB worth of pages
+        num_pages = max(budget // page_bytes, 16)
+        # Cap at something sane for tiny models on big chips.
+        num_pages = min(num_pages, 1_000_000)
+        return int(num_pages)
+
+    @property
+    def num_pages(self) -> int:
+        return self.kv_pool.num_pages
+
+    # ----------------------------------------------------------------- step
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _step(self, params, kv, meta: ForwardMeta, smeta: SamplingMeta, key):
+        hidden, kv = llama_mod.forward(
+            params, self.cfg, meta, kv, self.attn_backend
+        )
+        logits = llama_mod.compute_last_logits(params, hidden, meta)
+        tokens = sample(logits, smeta, key)
+        logprobs = compute_token_logprobs(logits, tokens)
+        return kv, tokens, logprobs
+
+    def forward(self, batch: HostBatch):
+        """Run one step. Returns (token_ids [B] np.int32, logprobs [B] np.f32),
+        sliced to the real batch size."""
+        B = batch.batch_size
+        T = batch.token_ids.shape[1]
+        Bp = next_bucket(B, self.server_args.decode_bs_buckets)
+        if batch.is_extend and T > 1:
+            Tp = next_bucket(T, self.server_args.prefill_token_buckets)
+        else:
+            Tp = 1
+        pages = batch.page_table.shape[1]
+        Pp = min(pow2_bucket(pages, lo=1), self.max_pages_per_req)
+        Pp = max(Pp, pages)
+
+        def pad(arr, shape, fill=0):
+            out = np.full(shape, fill, dtype=arr.dtype)
+            out[tuple(slice(0, s) for s in arr.shape)] = arr
+            return out
+
+        meta = ForwardMeta(
+            token_ids=jnp.asarray(pad(batch.token_ids, (Bp, Tp))),
+            positions=jnp.asarray(pad(batch.positions, (Bp, Tp))),
+            page_table=jnp.asarray(pad(batch.page_table, (Bp, Pp))),
+            # Padding rows: seq_len 1 so they attend only to garbage-page
+            # position 0 (keeps the masked softmax trivially well-formed).
+            seq_lens=jnp.asarray(pad(batch.seq_lens, (Bp,), fill=1)),
+            # Padding rows get extend_len 1 so last-token gather stays in
+            # bounds; their seq_lens=0 keeps attention confined to pos 0.
+            extend_lens=jnp.asarray(pad(batch.extend_lens, (Bp,), fill=1)),
+        )
+        smeta = SamplingMeta(
+            temperature=jnp.asarray(pad(batch.temperature, (Bp,))),
+            top_k=jnp.asarray(pad(batch.top_k, (Bp,), fill=1)),
+            top_p=jnp.asarray(pad(batch.top_p, (Bp,), fill=1.0)),
+            min_p=jnp.asarray(pad(batch.min_p, (Bp,))),
+        )
+        self._step_counter += 1
+        key = jax.random.fold_in(self._base_key, self._step_counter)
+
+        kv, tokens, logprobs = self._step(
+            self.params, self.kv_pool.kv, meta, smeta, key
+        )
+        self.kv_pool.kv = kv
+        return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]

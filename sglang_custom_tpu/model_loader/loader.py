@@ -1,0 +1,152 @@
+"""Model weight loading.
+
+Analog of the reference's loader stack (reference:
+srt/model_loader/loader.py:202 DefaultModelLoader safetensors streaming,
+:531 DummyModelLoader for perf-only runs). Weights are read per safetensors
+shard, remapped from HF names into the stacked-[L, ...] layout that the
+scanned model consumes, and device_put with their TP shardings — the
+device never holds an unsharded copy.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_custom_tpu.config.model_config import ModelConfig
+from sglang_custom_tpu.models import llama as llama_mod
+from sglang_custom_tpu.parallel.mesh import MeshContext
+from sglang_custom_tpu.parallel.sharding import param_shardings
+from sglang_custom_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+def _hf_key_map(cfg: ModelConfig, layer: int) -> Dict[str, tuple]:
+    """HF tensor name -> (pytree path, transpose?) for one decoder layer."""
+    p = f"model.layers.{layer}."
+    m = {
+        p + "input_layernorm.weight": (("layers", "input_norm"), False),
+        p + "self_attn.q_proj.weight": (("layers", "q_proj"), True),
+        p + "self_attn.k_proj.weight": (("layers", "k_proj"), True),
+        p + "self_attn.v_proj.weight": (("layers", "v_proj"), True),
+        p + "self_attn.o_proj.weight": (("layers", "o_proj"), True),
+        p + "post_attention_layernorm.weight": (("layers", "post_norm"), False),
+        p + "mlp.gate_proj.weight": (("layers", "gate_proj"), True),
+        p + "mlp.up_proj.weight": (("layers", "up_proj"), True),
+        p + "mlp.down_proj.weight": (("layers", "down_proj"), True),
+    }
+    if cfg.attention_bias:
+        m.update({
+            p + "self_attn.q_proj.bias": (("layers", "q_bias"), False),
+            p + "self_attn.k_proj.bias": (("layers", "k_bias"), False),
+            p + "self_attn.v_proj.bias": (("layers", "v_bias"), False),
+        })
+    return m
+
+
+def load_weights(
+    model_path: str,
+    cfg: ModelConfig,
+    mesh_ctx: MeshContext,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> dict:
+    """Load HF safetensors into the stacked sharded pytree."""
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no safetensors under {model_path}")
+
+    shardings = param_shardings(cfg, mesh_ctx)
+    shapes = llama_mod.param_shapes(cfg)
+
+    # Host staging buffers (fp32 numpy keeps safetensors-numpy happy; cast on
+    # device_put).
+    staging = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
+
+    key_map = {}
+    for l in range(cfg.num_layers):
+        for k, (path, transpose) in _hf_key_map(cfg, l).items():
+            key_map[k] = (path, l, transpose)
+    key_map["model.embed_tokens.weight"] = (("embed",), None, False)
+    key_map["model.norm.weight"] = (("final_norm",), None, False)
+    key_map["lm_head.weight"] = (("lm_head",), None, True)
+
+    seen = set()
+    for f in files:
+        # framework="pt" keeps reads host-side and handles bf16/fp16/fp32
+        # checkpoints uniformly (numpy can't represent bf16; flax would place
+        # tensors on the accelerator).
+        with safe_open(f, framework="pt") as st:
+            for name in st.keys():
+                if name not in key_map:
+                    if "rotary_emb" not in name:
+                        logger.debug("skipping unmapped weight %s", name)
+                    continue
+                path, l, transpose = key_map[name]
+                w = st.get_tensor(name).float().numpy()
+                if transpose:
+                    w = np.ascontiguousarray(w.T)
+                dst = staging
+                for kpart in path[:-1]:
+                    dst = dst[kpart]
+                if l is None:
+                    dst[path[-1]][...] = w
+                else:
+                    dst[path[-1]][l] = w
+                seen.add(name)
+
+    if "lm_head.weight" not in seen:
+        if not cfg.tie_word_embeddings:
+            logger.warning("lm_head missing and embeddings not tied; tying anyway")
+        staging["lm_head"][...] = staging["embed"].T
+
+    # Cast on the host (ml_dtypes handles bf16 in numpy) so each device_put
+    # ships final bytes — no per-tensor cast ops on device.
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    return jax.tree.map(
+        lambda w, s: jax.device_put(w.astype(np_dtype), s),
+        staging,
+        shardings,
+    )
+
+
+def load_dummy_weights(
+    cfg: ModelConfig,
+    mesh_ctx: MeshContext,
+    dtype: jnp.dtype = jnp.bfloat16,
+    seed: int = 0,
+) -> dict:
+    """Random-init weights for perf-only runs (reference: DummyModelLoader,
+    model_loader/loader.py:531 / --load-format dummy)."""
+    shapes = llama_mod.param_shapes(cfg)
+    shardings = param_shardings(cfg, mesh_ctx)
+    path_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    keys = list(jax.random.split(jax.random.PRNGKey(seed), len(path_leaves)))
+
+    def init(path, shape_struct, sharding, key):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "norm" in name:
+            return jax.jit(
+                lambda: jnp.ones(shape_struct.shape, dtype), out_shardings=sharding
+            )()
+        return jax.jit(
+            lambda k: (
+                jax.random.normal(k, shape_struct.shape, jnp.float32) * 0.02
+            ).astype(dtype),
+            out_shardings=sharding,
+        )(key)
+
+    out_leaves = [
+        init(path, s, sh, k)
+        for (path, s), sh, k in zip(
+            path_leaves, jax.tree.flatten(shardings)[0], keys
+        )
+    ]
+    return jax.tree.unflatten(treedef, out_leaves)

@@ -1,0 +1,125 @@
+"""Llama-family causal LM, TPU-first.
+
+Re-design of the reference's model definition (reference:
+srt/models/llama.py:381 LlamaForCausalLM, :448 forward) — not a port:
+
+- **Scanned layers over stacked weights**: every per-layer weight is stacked
+  on a leading [L, ...] axis and the decoder body runs under ``lax.scan``.
+  One layer is traced/compiled once regardless of depth — the XLA-idiomatic
+  replacement for the reference's Python loop over nn.Modules, and it lets
+  the KV cache thread through the scan as per-layer xs/ys so donation
+  aliases the pool in place.
+- **No manual collectives**: the reference's ColumnParallel/RowParallel
+  linear layers (srt/layers/linear.py) with explicit all-reduces become
+  plain matmuls + sharding annotations; GSPMD inserts the all-reduce over
+  the ``tensor`` mesh axis.
+- Covers Llama 1/2/3 geometry (GQA, llama3 rope scaling, tied embeddings)
+  and Qwen2 (attention QKV bias) via ModelConfig flags.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sglang_custom_tpu.config.model_config import ModelConfig
+from sglang_custom_tpu.layers.norms import rms_norm
+from sglang_custom_tpu.layers.rotary import apply_rope, rope_cos_sin, rope_inv_freq
+from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
+
+
+def param_shapes(cfg: ModelConfig) -> dict:
+    """Pytree of ShapeDtypeStruct describing the stacked parameter layout."""
+    L, H, D = cfg.num_layers, cfg.hidden_size, cfg.head_dim
+    Hq, Hkv, I = cfg.num_q_heads, cfg.num_kv_heads, cfg.intermediate_size
+    V = cfg.vocab_size
+
+    def s(*shape):
+        return jax.ShapeDtypeStruct(shape, jnp.bfloat16)
+
+    layers = {
+        "input_norm": s(L, H),
+        "q_proj": s(L, H, Hq * D),
+        "k_proj": s(L, H, Hkv * D),
+        "v_proj": s(L, H, Hkv * D),
+        "o_proj": s(L, Hq * D, H),
+        "post_norm": s(L, H),
+        "gate_proj": s(L, H, I),
+        "up_proj": s(L, H, I),
+        "down_proj": s(L, I, H),
+    }
+    if cfg.attention_bias:
+        layers["q_bias"] = s(L, Hq * D)
+        layers["k_bias"] = s(L, Hkv * D)
+        layers["v_bias"] = s(L, Hkv * D)
+    return {
+        "embed": s(V, H),
+        "layers": layers,
+        "final_norm": s(H),
+        "lm_head": s(H, V),
+    }
+
+
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    meta: ForwardMeta,
+    kv_cache: jax.Array,  # [L, P, ps, 2*Hkv, D]
+    attn_backend: Callable,
+):
+    """Returns (hidden [B, T, H], updated kv_cache)."""
+    B, T = meta.token_ids.shape
+    D = cfg.head_dim
+    Hq, Hkv = cfg.num_q_heads, cfg.num_kv_heads
+    scale = 1.0 / math.sqrt(D)
+    eps = cfg.rms_norm_eps
+
+    x = jnp.take(params["embed"], meta.token_ids, axis=0)  # [B, T, H]
+    inv_freq = jnp.asarray(rope_inv_freq(cfg))
+    cos, sin = rope_cos_sin(meta.positions, inv_freq)  # [B, T, D/2]
+
+    def layer_fn(x, xs):
+        lp, kv_l = xs
+        h = rms_norm(x, lp["input_norm"], eps)
+        q = jnp.einsum("bth,hd->btd", h, lp["q_proj"])
+        k = jnp.einsum("bth,hd->btd", h, lp["k_proj"])
+        v = jnp.einsum("bth,hd->btd", h, lp["v_proj"])
+        if "q_bias" in lp:
+            q = q + lp["q_bias"]
+            k = k + lp["k_bias"]
+            v = v + lp["v_bias"]
+        q = q.reshape(B, T, Hq, D)
+        k = k.reshape(B, T, Hkv, D)
+        v = v.reshape(B, T, Hkv, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        attn_out, kv_l = attn_backend(q, k, v, kv_l, meta, scale)
+        x = x + jnp.einsum(
+            "btd,dh->bth", attn_out.reshape(B, T, Hq * D), lp["o_proj"]
+        )
+
+        h = rms_norm(x, lp["post_norm"], eps)
+        gate = jnp.einsum("bth,hi->bti", h, lp["gate_proj"])
+        up = jnp.einsum("bth,hi->bti", h, lp["up_proj"])
+        mlp = jnp.einsum("bti,ih->bth", jax.nn.silu(gate) * up, lp["down_proj"])
+        x = x + mlp
+        return x, kv_l
+
+    x, new_kv = lax.scan(layer_fn, x, (params["layers"], kv_cache))
+    x = rms_norm(x, params["final_norm"], eps)
+    return x, new_kv
+
+
+def compute_last_logits(params: dict, hidden: jax.Array, meta: ForwardMeta):
+    """LogitsProcessor analog (reference: srt/layers/logits_processor.py:196):
+    gather each row's last computed token, then one lm_head matmul in fp32."""
+    idx = jnp.maximum(meta.extend_lens - 1, 0)  # [B]
+    last = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]  # [B, H]
+    return jnp.einsum(
+        "bh,hv->bv", last, params["lm_head"], preferred_element_type=jnp.float32
+    )

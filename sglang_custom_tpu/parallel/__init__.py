@@ -1,0 +1,3 @@
+from sglang_custom_tpu.parallel.mesh import MeshContext, create_mesh
+
+__all__ = ["MeshContext", "create_mesh"]

@@ -1,0 +1,39 @@
+"""Per-request sampling parameters.
+
+Analog of the reference's SamplingParams (srt/sampling/sampling_params.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Union
+
+
+@dataclasses.dataclass
+class SamplingParams:
+    max_new_tokens: int = 128
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = -1          # -1 = disabled (full vocab)
+    min_p: float = 0.0
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    stop: Optional[Union[str, List[str]]] = None
+    stop_token_ids: Optional[List[int]] = None
+    ignore_eos: bool = False
+    n: int = 1
+
+    def __post_init__(self):
+        if isinstance(self.stop, str):
+            self.stop = [self.stop]
+        self.stop = list(self.stop or [])
+        self.stop_token_ids = list(self.stop_token_ids or [])
+        if self.temperature < 1e-5:
+            # Greedy: normalize so the kernel can branch on temperature == 0.
+            self.temperature = 0.0
+
+    def verify(self) -> None:
+        assert self.max_new_tokens >= 0
+        assert 0.0 <= self.top_p <= 1.0
+        assert self.top_k == -1 or self.top_k >= 1
+        assert 0.0 <= self.min_p <= 1.0
