@@ -37,6 +37,7 @@ class ServerArgs:
 
     # Scheduling
     schedule_policy: str = "lpm"       # lpm | fcfs | lof | random
+    attention_backend: str = "auto"    # auto | pallas | xla
     schedule_conservativeness: float = 1.0
     stream_interval: int = 1
 
@@ -57,6 +58,7 @@ class ServerArgs:
     host: str = "127.0.0.1"
     port: int = 30000
     log_level: str = "info"
+    served_model_name: Optional[str] = None  # name reported by /v1/models
 
     # Speculative decoding
     speculative_algorithm: Optional[str] = None  # None | eagle
@@ -72,6 +74,8 @@ class ServerArgs:
     def __post_init__(self):
         if self.tokenizer_path is None:
             self.tokenizer_path = self.model_path
+        if self.served_model_name is None:
+            self.served_model_name = self.model_path
         if self.chunked_prefill_size == -1:
             self.chunked_prefill_size = 1 << 30
         if self.kv_cache_dtype == "auto":
@@ -87,10 +91,12 @@ class ServerArgs:
                 continue
             arg = "--" + f.name.replace("_", "-")
             default = f.default
-            if f.type in ("bool", bool):
+            tname = str(f.type).replace("Optional[", "").rstrip("]")
+            if tname == "bool":
                 parser.add_argument(arg, action="store_true", default=default)
             else:
-                parser.add_argument(arg, default=default)
+                cast = {"int": int, "float": float}.get(tname, str)
+                parser.add_argument(arg, type=cast, default=default)
 
     @classmethod
     def from_cli_args(cls, args: argparse.Namespace) -> "ServerArgs":

@@ -1,28 +1,34 @@
 """In-process Engine API.
 
 Analog of the reference's Engine (reference: srt/entrypoints/engine.py:87 —
-generate :138, async_generate :219, encode :291). TPU-first: no subprocess
-topology to spawn (`_launch_subprocesses` engine.py:685 collapses into this
-one object owning the mesh, runner, and scheduler), so construction is just
-config → weights → pools → scheduler.
+generate :138, stream wrapper :204-214, async_generate :219). TPU-first: no
+subprocess topology to spawn (`_launch_subprocesses` engine.py:685 collapses
+into this one object owning the mesh, runner, and scheduler thread), so
+construction is just config → weights → pools → scheduler. A dedicated
+scheduler thread drives the device continuously; `generate()` callers — any
+number of them, from any thread or asyncio loop — submit through a queue and
+stream results back.
 """
 
 from __future__ import annotations
 
+import queue
 import time
-import uuid
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, AsyncIterator, Dict, Iterator, List, Optional, Union
 
 import jax
 
 from sglang_custom_tpu.config.model_config import ModelConfig
 from sglang_custom_tpu.config.server_args import ServerArgs
-from sglang_custom_tpu.managers.schedule_batch import Req
 from sglang_custom_tpu.managers.scheduler import Scheduler
+from sglang_custom_tpu.managers.tokenizer_manager import (
+    ReqState,
+    SchedulerThread,
+    make_request,
+)
 from sglang_custom_tpu.model_executor.model_runner import ModelRunner
 from sglang_custom_tpu.model_loader.loader import load_dummy_weights, load_weights
 from sglang_custom_tpu.parallel.mesh import create_mesh
-from sglang_custom_tpu.sampling.sampling_params import SamplingParams
 from sglang_custom_tpu.utils import configure_logger, get_logger
 
 logger = get_logger(__name__)
@@ -79,6 +85,10 @@ class Engine:
                 server_args.tokenizer_path
             )
         self._eos_ids = self._collect_eos_ids()
+        self.scheduler_thread = SchedulerThread(
+            self.scheduler, self.tokenizer,
+            stream_interval=server_args.stream_interval,
+        )
 
     def _collect_eos_ids(self) -> set:
         eos = set()
@@ -99,13 +109,7 @@ class Engine:
 
     # ------------------------------------------------------------------ API
 
-    def generate(
-        self,
-        prompt: Optional[Union[str, List[str]]] = None,
-        sampling_params: Optional[Union[Dict, List[Dict]]] = None,
-        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
-    ) -> Union[Dict[str, Any], List[Dict[str, Any]]]:
-        """Synchronous offline generation (reference: engine.py:138)."""
+    def _normalize_inputs(self, prompt, input_ids, sampling_params):
         single = False
         if prompt is not None:
             if isinstance(prompt, str):
@@ -126,53 +130,143 @@ class Engine:
             sampling_params = [{}] * n
         elif isinstance(sampling_params, dict):
             sampling_params = [sampling_params] * n
+        return input_ids, sampling_params, single
 
-        reqs = []
-        for ids, sp in zip(input_ids, sampling_params):
-            req = Req(
-                rid=uuid.uuid4().hex,
-                input_ids=list(ids),
-                sampling_params=SamplingParams(**sp),
-                eos_token_ids=self._eos_ids,
+    def _submit(self, input_ids, sampling_params, rid=None) -> List[ReqState]:
+        states = []
+        for i, (ids, sp) in enumerate(zip(input_ids, sampling_params)):
+            req = make_request(
+                ids, sp, self._eos_ids,
+                rid=rid if rid is not None and len(input_ids) == 1 else None,
             )
-            req.sampling_params.verify()
-            self.scheduler.add_request(req)
-            reqs.append(req)
+            states.append(self.scheduler_thread.submit(req))
+        return states
 
-        while self.scheduler.has_work:
-            self.scheduler.step()
-
-        outs = []
-        for r in reqs:
-            text = (
-                self.tokenizer.decode(r.output_ids, skip_special_tokens=True)
-                if self.tokenizer is not None
-                else ""
-            )
-            outs.append(
-                {
-                    "text": text,
-                    "output_ids": list(r.output_ids),
-                    "meta_info": {
-                        "id": r.rid,
-                        "prompt_tokens": r.prompt_len,
-                        "completion_tokens": len(r.output_ids),
-                        "cached_tokens": r.cached_tokens,
-                        "finish_reason": {
-                            "type": r.finish_reason.value if r.finish_reason else None
-                        },
-                    },
-                }
-            )
+    def generate(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        sampling_params: Optional[Union[Dict, List[Dict]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        stream: bool = False,
+        rid: Optional[str] = None,
+    ) -> Union[Dict[str, Any], List[Dict[str, Any]], Iterator[Dict[str, Any]]]:
+        """Synchronous generation (reference: engine.py:138). With
+        ``stream=True`` returns an iterator of chunk dicts (:204-214)."""
+        input_ids, sampling_params, single = self._normalize_inputs(
+            prompt, input_ids, sampling_params
+        )
+        states = self._submit(input_ids, sampling_params, rid=rid)
+        if stream:
+            return self._stream_outputs(states)
+        outs = [self._collect_final(s) for s in states]
         return outs[0] if single else outs
+
+    def _collect_final(self, state: ReqState) -> Dict[str, Any]:
+        while True:
+            chunk = state.out_queue.get()
+            if chunk.get("finished"):
+                return self._finalize_out(state, chunk)
+
+    def _finalize_out(self, state: ReqState, chunk: Dict[str, Any]) -> Dict[str, Any]:
+        req = state.req
+        if state.detok_status is not None:
+            text = state.detok_status.decoded_text
+        elif self.tokenizer is not None:
+            text = self.tokenizer.decode(req.output_ids, skip_special_tokens=True)
+        else:
+            text = ""
+        return {
+            "text": text,
+            "output_ids": list(req.output_ids),
+            "meta_info": chunk.get("meta_info", {}),
+        }
+
+    def _stream_outputs(self, states: List[ReqState]) -> Iterator[Dict[str, Any]]:
+        """Merge-stream chunks from all submitted requests (round-robin)."""
+        pending = {id(s): s for s in states}
+        while pending:
+            for key in list(pending):
+                s = pending[key]
+                try:
+                    chunk = s.out_queue.get(timeout=0.02)
+                except queue.Empty:
+                    continue
+                yield chunk
+                if chunk.get("finished"):
+                    del pending[key]
+
+    async def async_generate(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        sampling_params: Optional[Union[Dict, List[Dict]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        stream: bool = False,
+        rid: Optional[str] = None,
+    ):
+        """Asyncio front (reference: engine.py:219 async_generate). Returns
+        an awaitable dict, or an async iterator when stream=True."""
+        import asyncio
+
+        input_ids, sampling_params, single = self._normalize_inputs(
+            prompt, input_ids, sampling_params
+        )
+        states = self._submit(input_ids, sampling_params, rid=rid)
+
+        if stream:
+            async def agen() -> AsyncIterator[Dict[str, Any]]:
+                pending = {id(s): s for s in states}
+                while pending:
+                    got = False
+                    for key in list(pending):
+                        s = pending[key]
+                        try:
+                            chunk = s.out_queue.get_nowait()
+                        except queue.Empty:
+                            continue
+                        got = True
+                        yield chunk
+                        if chunk.get("finished"):
+                            del pending[key]
+                    if not got:
+                        await asyncio.sleep(0.005)
+
+            return agen()
+
+        outs = await asyncio.gather(
+            *[asyncio.to_thread(self._collect_final, s) for s in states]
+        )
+        return outs[0] if single else list(outs)
+
+    def abort_request(self, rid: str) -> None:
+        self.scheduler_thread.abort(rid)
 
     def flush_cache(self) -> None:
         """Drop the radix cache (reference: /flush_cache http_server.py:403)."""
         assert not self.scheduler.has_work
         self.scheduler.tree_cache.reset()
 
+    def get_server_info(self) -> Dict[str, Any]:
+        info = self.scheduler_thread.stats()
+        info.update(
+            {
+                "model_path": self.server_args.model_path,
+                "tp_size": self.server_args.tp_size,
+                "dp_size": self.server_args.dp_size,
+                "max_running_requests": self.server_args.max_running_requests,
+                "context_len": self.runner.context_len,
+                "version": __import__("sglang_custom_tpu").__version__,
+            }
+        )
+        return info
+
     def check_memory(self) -> None:
         self.scheduler.check_memory()
 
     def shutdown(self) -> None:
-        pass
+        self.scheduler_thread.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()

@@ -1,0 +1,366 @@
+"""HTTP serving front.
+
+Analog of the reference's FastAPI server
+(reference: srt/entrypoints/http_server.py — /generate :318,
+/health_generate :228, /flush_cache :403, /get_server_info :290,
+OpenAI routes :740-786). Built on aiohttp (async single-process server in
+front of the scheduler thread; the reference's multi-process ZMQ topology
+collapses in the single-controller TPU design).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+from typing import Any, Dict, Optional
+
+from aiohttp import web
+
+from sglang_custom_tpu.config.server_args import ServerArgs
+from sglang_custom_tpu.entrypoints.engine import Engine
+from sglang_custom_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+def _sse(data: Dict[str, Any]) -> bytes:
+    return f"data: {json.dumps(data, ensure_ascii=False)}\n\n".encode()
+
+
+_SSE_DONE = b"data: [DONE]\n\n"
+
+
+class HttpServer:
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.start_time = time.time()
+        self.app = web.Application(client_max_size=64 * 2**20)
+        r = self.app.router
+        r.add_get("/health", self.health)
+        r.add_get("/health_generate", self.health_generate)
+        r.add_post("/generate", self.generate)
+        r.add_post("/flush_cache", self.flush_cache)
+        r.add_get("/get_server_info", self.get_server_info)
+        r.add_get("/get_load", self.get_load)
+        r.add_post("/abort_request", self.abort_request)
+        r.add_get("/v1/models", self.v1_models)
+        r.add_post("/v1/completions", self.v1_completions)
+        r.add_post("/v1/chat/completions", self.v1_chat_completions)
+        r.add_get("/metrics", self.metrics)
+
+    # ----------------------------------------------------------- basic
+
+    async def health(self, request: web.Request) -> web.Response:
+        return web.Response(text="OK")
+
+    async def health_generate(self, request: web.Request) -> web.Response:
+        """Generate one token end-to-end (reference: http_server.py:228)."""
+        out = await self.engine.async_generate(
+            input_ids=[1], sampling_params={"max_new_tokens": 1}
+        )
+        ok = len(out["output_ids"]) <= 1
+        return web.Response(text="OK" if ok else "FAIL", status=200 if ok else 503)
+
+    async def flush_cache(self, request: web.Request) -> web.Response:
+        try:
+            self.engine.flush_cache()
+        except AssertionError:
+            return web.Response(
+                text="Cache not flushed: requests in flight", status=409
+            )
+        return web.Response(text="Cache flushed.")
+
+    async def get_server_info(self, request: web.Request) -> web.Response:
+        info = self.engine.get_server_info()
+        info["uptime"] = time.time() - self.start_time
+        return web.json_response(info)
+
+    async def get_load(self, request: web.Request) -> web.Response:
+        s = self.engine.scheduler_thread.stats()
+        return web.json_response(
+            {
+                "num_reqs": s["num_running"] + s["num_waiting"],
+                "num_waiting_reqs": s["num_waiting"],
+                "num_tokens": s["num_generated_tokens"],
+            }
+        )
+
+    async def abort_request(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        self.engine.abort_request(body.get("rid", ""))
+        return web.Response(text="OK")
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        """Prometheus text exposition (reference: metrics/collector.py)."""
+        s = self.engine.scheduler_thread.stats()
+        lines = []
+        for k, v in s.items():
+            name = f"sglang_tpu_{k}"
+            lines.append(f"# TYPE {name} gauge")
+            lines.append(f"{name} {v}")
+        return web.Response(
+            text="\n".join(lines) + "\n", content_type="text/plain"
+        )
+
+    # -------------------------------------------------------- /generate
+
+    async def generate(self, request: web.Request) -> web.StreamResponse:
+        """Native generation API (reference: http_server.py:318 +
+        io_struct.GenerateReqInput)."""
+        try:
+            obj = await request.json()
+        except json.JSONDecodeError:
+            return web.json_response({"error": "invalid json"}, status=400)
+
+        text = obj.get("text")
+        input_ids = obj.get("input_ids")
+        sampling_params = obj.get("sampling_params") or {}
+        stream = bool(obj.get("stream", False))
+        rid = obj.get("rid")
+        if text is None and input_ids is None:
+            return web.json_response(
+                {"error": "one of `text` or `input_ids` is required"}, status=400
+            )
+
+        try:
+            if stream:
+                agen = await self.engine.async_generate(
+                    prompt=text, input_ids=input_ids,
+                    sampling_params=sampling_params, stream=True, rid=rid,
+                )
+                resp = web.StreamResponse(
+                    headers={"Content-Type": "text/event-stream",
+                             "Cache-Control": "no-cache"}
+                )
+                await resp.prepare(request)
+                acc_text = ""
+                async for chunk in agen:
+                    acc_text += chunk.get("text", "")
+                    payload = {
+                        "text": acc_text,
+                        "output_ids": chunk.get("output_ids", []),
+                        "meta_info": chunk.get("meta_info", {}),
+                    }
+                    await resp.write(_sse(payload))
+                await resp.write(_SSE_DONE)
+                await resp.write_eof()
+                return resp
+            out = await self.engine.async_generate(
+                prompt=text, input_ids=input_ids,
+                sampling_params=sampling_params, rid=rid,
+            )
+            return web.json_response(out)
+        except (ValueError, AssertionError) as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+    # ------------------------------------------------------- OpenAI API
+
+    async def v1_models(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": self.engine.server_args.served_model_name,
+                        "object": "model",
+                        "created": int(self.start_time),
+                        "owned_by": "sglang_custom_tpu",
+                    }
+                ],
+            }
+        )
+
+    def _openai_sampling(self, obj: Dict[str, Any]) -> Dict[str, Any]:
+        sp: Dict[str, Any] = {}
+        if "max_tokens" in obj:
+            sp["max_new_tokens"] = obj["max_tokens"]
+        if "max_completion_tokens" in obj:
+            sp["max_new_tokens"] = obj["max_completion_tokens"]
+        for k in ("temperature", "top_p", "min_p", "top_k",
+                  "frequency_penalty", "presence_penalty", "repetition_penalty"):
+            if k in obj and obj[k] is not None:
+                sp[k] = obj[k]
+        stop = obj.get("stop")
+        if stop:
+            sp["stop"] = [stop] if isinstance(stop, str) else list(stop)
+        return sp
+
+    async def v1_completions(self, request: web.Request) -> web.StreamResponse:
+        """reference: entrypoints/openai/serving_completions.py"""
+        obj = await request.json()
+        prompt = obj.get("prompt")
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+            kwargs = {"input_ids": prompt}
+        elif isinstance(prompt, str):
+            kwargs = {"prompt": prompt}
+        else:
+            return web.json_response(
+                {"error": {"message": "prompt must be a string or token list"}},
+                status=400,
+            )
+        sp = self._openai_sampling(obj)
+        model = obj.get("model", self.engine.server_args.served_model_name)
+        cid = f"cmpl-{uuid.uuid4().hex}"
+        created = int(time.time())
+
+        if obj.get("stream"):
+            agen = await self.engine.async_generate(
+                sampling_params=sp, stream=True, **kwargs
+            )
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"}
+            )
+            await resp.prepare(request)
+            finish_reason = None
+            async for chunk in agen:
+                finish_reason = (
+                    chunk.get("meta_info", {}).get("finish_reason", {}).get("type")
+                    if chunk.get("finished")
+                    else None
+                )
+                await resp.write(_sse({
+                    "id": cid, "object": "text_completion", "created": created,
+                    "model": model,
+                    "choices": [{
+                        "index": 0, "text": chunk.get("text", ""),
+                        "logprobs": None, "finish_reason": finish_reason,
+                    }],
+                }))
+            await resp.write(_SSE_DONE)
+            await resp.write_eof()
+            return resp
+
+        out = await self.engine.async_generate(sampling_params=sp, **kwargs)
+        meta = out["meta_info"]
+        return web.json_response({
+            "id": cid, "object": "text_completion", "created": created,
+            "model": model,
+            "choices": [{
+                "index": 0, "text": out["text"], "logprobs": None,
+                "finish_reason": _openai_finish(meta),
+            }],
+            "usage": _usage(meta),
+        })
+
+    async def v1_chat_completions(self, request: web.Request) -> web.StreamResponse:
+        """reference: entrypoints/openai/serving_chat.py:46"""
+        obj = await request.json()
+        messages = obj.get("messages")
+        if not messages:
+            return web.json_response(
+                {"error": {"message": "messages required"}}, status=400
+            )
+        tok = self.engine.tokenizer
+        if tok is None:
+            return web.json_response(
+                {"error": {"message": "server started without tokenizer"}},
+                status=400,
+            )
+        try:
+            input_ids = tok.apply_chat_template(
+                messages, tokenize=True, add_generation_prompt=True
+            )
+        except Exception as e:
+            return web.json_response(
+                {"error": {"message": f"chat template failed: {e}"}}, status=400
+            )
+        sp = self._openai_sampling(obj)
+        model = obj.get("model", self.engine.server_args.served_model_name)
+        cid = f"chatcmpl-{uuid.uuid4().hex}"
+        created = int(time.time())
+
+        if obj.get("stream"):
+            agen = await self.engine.async_generate(
+                input_ids=input_ids, sampling_params=sp, stream=True
+            )
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"}
+            )
+            await resp.prepare(request)
+            first = True
+            async for chunk in agen:
+                delta: Dict[str, Any] = {}
+                if first:
+                    delta["role"] = "assistant"
+                    first = False
+                if chunk.get("text"):
+                    delta["content"] = chunk["text"]
+                finish_reason = (
+                    _openai_finish(chunk.get("meta_info", {}))
+                    if chunk.get("finished")
+                    else None
+                )
+                await resp.write(_sse({
+                    "id": cid, "object": "chat.completion.chunk",
+                    "created": created, "model": model,
+                    "choices": [{
+                        "index": 0, "delta": delta,
+                        "finish_reason": finish_reason,
+                    }],
+                }))
+            await resp.write(_SSE_DONE)
+            await resp.write_eof()
+            return resp
+
+        out = await self.engine.async_generate(
+            input_ids=input_ids, sampling_params=sp
+        )
+        meta = out["meta_info"]
+        return web.json_response({
+            "id": cid, "object": "chat.completion", "created": created,
+            "model": model,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": out["text"]},
+                "finish_reason": _openai_finish(meta),
+            }],
+            "usage": _usage(meta),
+        })
+
+
+def _openai_finish(meta: Dict[str, Any]) -> Optional[str]:
+    t = (meta.get("finish_reason") or {}).get("type")
+    if t in ("stop", "stop_str"):
+        return "stop"
+    if t == "length":
+        return "length"
+    return t
+
+
+def _usage(meta: Dict[str, Any]) -> Dict[str, int]:
+    pt = meta.get("prompt_tokens", 0)
+    ct = meta.get("completion_tokens", 0)
+    return {
+        "prompt_tokens": pt,
+        "completion_tokens": ct,
+        "total_tokens": pt + ct,
+    }
+
+
+async def _run_app(app: web.Application, host: str, port: int) -> web.AppRunner:
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, host, port)
+    await site.start()
+    return runner
+
+
+def launch_server(server_args: ServerArgs, engine: Optional[Engine] = None) -> None:
+    """Blocking server entry (reference: launch_server.py)."""
+    if engine is None:
+        engine = Engine(server_args=server_args)
+    server = HttpServer(engine)
+    logger.info("serving on http://%s:%d", server_args.host, server_args.port)
+    loop = asyncio.new_event_loop()
+    runner = loop.run_until_complete(
+        _run_app(server.app, server_args.host, server_args.port)
+    )
+    try:
+        loop.run_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        loop.run_until_complete(runner.cleanup())
+        engine.shutdown()

@@ -27,7 +27,7 @@ class AttentionBackend(abc.ABC):
 
     Shapes:
         q, k_new, v_new : [B, T, H(q|kv), D]   (post-RoPE)
-        layer_kv        : [P, page_size, 2*Hkv, D]  (K/V interleaved per head)
+        layer_kv        : [2, Hkv, P, page_size, D]  (K/V + head leading)
     Returns (attn_out [B, T, Hq, D], updated layer_kv).
     """
 
@@ -57,8 +57,8 @@ def write_kv_pages(
     """
     import jax.numpy as jnp
 
-    B, T = k_new.shape[:2]
-    P, ps, two_hkv, D = layer_kv.shape
+    B, T, Hkv, D = k_new.shape
+    _, _, P, ps, _ = layer_kv.shape
     pos = meta.positions  # [B, T]
     page = jnp.take_along_axis(meta.page_table, pos // ps, axis=1)  # [B, T]
     valid = (
@@ -66,9 +66,9 @@ def write_kv_pages(
         < meta.extend_lens[:, None]
     )
     slots = jnp.where(valid, page * ps + pos % ps, pos % ps)  # garbage page = 0
-    kv_new = jnp.stack([k_new, v_new], axis=3).reshape(B, T, two_hkv, D)
-    flat = layer_kv.reshape(P * ps, two_hkv, D)
-    flat = flat.at[slots.reshape(-1)].set(
-        kv_new.reshape(B * T, two_hkv, D).astype(layer_kv.dtype), mode="drop"
-    )
-    return flat.reshape(P, ps, two_hkv, D)
+    # [2, Hkv, B*T, D] to match the pool's head-leading layout.
+    kv_new = jnp.stack([k_new, v_new]).reshape(2, B * T, Hkv, D)
+    kv_new = kv_new.transpose(0, 2, 1, 3).astype(layer_kv.dtype)
+    flat = layer_kv.reshape(2, Hkv, P * ps, D)
+    flat = flat.at[:, :, slots.reshape(-1)].set(kv_new, mode="drop")
+    return flat.reshape(layer_kv.shape)

@@ -1,0 +1,59 @@
+"""Pallas attention backend — the production TPU path.
+
+Analog of the reference's flashinfer/triton backends
+(reference: srt/layers/attention/flashinfer_backend.py — the default CUDA
+production backend chosen by model_runner.py:1313). Decode (T==1) runs the
+Pallas ragged-paged kernel; extend currently falls back to the XLA gather
+path (prefill is MXU-bound, so the gather overhead amortizes over the many
+query tokens — the dedicated extend kernel lands with the perf phase).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from sglang_custom_tpu.layers.attention.base import AttentionBackend, write_kv_pages
+from sglang_custom_tpu.layers.attention.xla_backend import XlaAttentionBackend
+from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
+from sglang_custom_tpu.ops.ragged_paged_attention import (
+    paged_attention_decode,
+    paged_attention_extend,
+)
+
+
+class PallasAttentionBackend(AttentionBackend):
+    def __init__(self, interpret: bool = False):
+        self.interpret = interpret
+        self._xla_fallback = XlaAttentionBackend()
+
+    def __call__(
+        self,
+        q: jax.Array,
+        k_new: jax.Array,
+        v_new: jax.Array,
+        layer_kv: jax.Array,
+        meta: ForwardMeta,
+        scale: float,
+    ):
+        B, T, Hq, D = q.shape
+        layer_kv = write_kv_pages(k_new, v_new, layer_kv, meta)
+        if T == 1:
+            out = paged_attention_decode(
+                q[:, 0],
+                layer_kv,
+                meta.page_table,
+                meta.seq_lens,
+                scale=scale,
+                interpret=self.interpret,
+            )
+            return out[:, None], layer_kv
+        out = paged_attention_extend(
+            q,
+            layer_kv,
+            meta.page_table,
+            meta.seq_lens,
+            meta.extend_lens,
+            scale=scale,
+            interpret=self.interpret,
+        )
+        return out, layer_kv

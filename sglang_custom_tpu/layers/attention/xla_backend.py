@@ -32,21 +32,19 @@ class XlaAttentionBackend(AttentionBackend):
         layer_kv = write_kv_pages(k_new, v_new, layer_kv, meta)
 
         B, T, Hq, D = q.shape
-        P, ps, two_hkv, _ = layer_kv.shape
-        Hkv = two_hkv // 2
+        _, Hkv, P, ps, _ = layer_kv.shape
         G = Hq // Hkv
         S = meta.page_table.shape[1] * ps  # padded context length (bucketed)
 
-        # Gather the pages of every request: [B, PMAX, ps, 2Hkv, D]
-        gathered = layer_kv[meta.page_table]
-        kv = gathered.reshape(B, S, Hkv, 2, D)
-        k = kv[..., 0, :]  # [B, S, Hkv, D]
-        v = kv[..., 1, :]
+        # Gather the pages of every request: [2, Hkv, B, PMAX, ps, D]
+        gathered = layer_kv[:, :, meta.page_table]
+        k = gathered[0].reshape(Hkv, B, S, D)
+        v = gathered[1].reshape(Hkv, B, S, D)
 
         qg = q.reshape(B, T, Hkv, G, D)
         scores = jnp.einsum(
-            "btkgd,bskd->bktgs", qg, k, preferred_element_type=jnp.float32
-        ) * scale  # [B, Hkv, T, G? ...] -> [B, Hkv, T, G, S]
+            "btkgd,kbsd->bktgs", qg, k, preferred_element_type=jnp.float32
+        ) * scale  # [B, Hkv, T, G, S]
 
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, 1, S), 4)
         q_pos = meta.positions[:, None, :, None, None]  # [B, 1, T, 1, 1]
@@ -56,7 +54,7 @@ class XlaAttentionBackend(AttentionBackend):
 
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum(
-            "bktgs,bskd->btkgd", probs.astype(v.dtype), v,
+            "bktgs,kbsd->btkgd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         )
         return out.reshape(B, T, Hq, D).astype(q.dtype), layer_kv

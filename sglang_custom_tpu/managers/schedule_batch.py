@@ -204,7 +204,7 @@ def build_batch(
         toks = fill[r.computed_len : r.computed_len + e]
         token_ids[i, :e] = toks
         positions[i, :e] = np.arange(r.computed_len, r.computed_len + e)
-        pages = r.page_list
+        pages = r.page_list[:max_pages]
         page_table[i, : len(pages)] = pages
         seq_lens[i] = r.computed_len + e
         sp = r.sampling_params

@@ -1,0 +1,236 @@
+"""Request front-end: tokenize, submit, stream results.
+
+Analog of the reference's TokenizerManager + the scheduler event loop glue
+(reference: srt/managers/tokenizer_manager.py:169 — per-rid ReqState with
+asyncio events, _send_one_request :695, _wait_one_response :706; scheduler
+event loops scheduler.py:797). TPU-first: instead of ZMQ between a server
+process and per-GPU scheduler processes, one **scheduler thread** drives the
+device while any number of frontend threads submit requests through a
+queue — requests arriving mid-flight join the continuous batch at the next
+iteration boundary.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+import uuid
+from typing import Any, Dict, Iterator, List, Optional
+
+from sglang_custom_tpu.managers.detokenizer import (
+    IncrementalDetokenizer,
+    find_stop_str,
+    partial_stop_len,
+)
+from sglang_custom_tpu.managers.schedule_batch import FinishReason, Req, ReqStatus
+from sglang_custom_tpu.managers.scheduler import Scheduler
+from sglang_custom_tpu.sampling.sampling_params import SamplingParams
+from sglang_custom_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class ReqState:
+    """Per-request streaming state shared between scheduler + consumer."""
+
+    def __init__(self, req: Req):
+        self.req = req
+        self.out_queue: "queue.Queue[Dict[str, Any]]" = queue.Queue()
+        self.detok_status = None
+        self.last_len = 0  # tokens already streamed
+        self.text_sent = 0  # chars of decoded_text already streamed
+
+
+class SchedulerThread:
+    """Owns the scheduler + device; single consumer of the intake queue."""
+
+    def __init__(self, scheduler: Scheduler, tokenizer=None, stream_interval: int = 1):
+        self.scheduler = scheduler
+        self.tokenizer = tokenizer
+        self.detok = IncrementalDetokenizer(tokenizer) if tokenizer else None
+        self.stream_interval = stream_interval
+        self.intake: "queue.Queue[ReqState]" = queue.Queue()
+        self._states: Dict[str, ReqState] = {}
+        self._abort_rids: "queue.Queue[str]" = queue.Queue()
+        self._shutdown = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="scheduler")
+        self._thread.start()
+
+    # ----------------------------------------------------------------- API
+
+    def submit(self, req: Req) -> ReqState:
+        state = ReqState(req)
+        if self.detok is not None:
+            state.detok_status = self.detok.new_status()
+        self.intake.put(state)
+        return state
+
+    def abort(self, rid: str) -> None:
+        self._abort_rids.put(rid)
+
+    def shutdown(self) -> None:
+        self._shutdown.set()
+        self._thread.join(timeout=10)
+
+    def stats(self) -> Dict[str, Any]:
+        s = self.scheduler
+        return {
+            "num_running": len(s.running_batch),
+            "num_waiting": len(s.waiting_queue),
+            "num_generated_tokens": s.num_generated_tokens,
+            "num_prefill_tokens": s.num_prefill_tokens,
+            "num_retractions": s.num_retractions,
+            "num_cached_tokens": s.num_cached_tokens,
+            "available_pages": s.allocator.available_pages,
+            "tree_tokens": s.tree_cache.total_tokens(),
+        }
+
+    # ---------------------------------------------------------------- loop
+
+    def _loop(self) -> None:
+        while not self._shutdown.is_set():
+            self._drain_intake(block=not self.scheduler.has_work)
+            self._drain_aborts()
+            if not self.scheduler.has_work:
+                continue
+            try:
+                updated = self.scheduler.step()
+            except Exception:
+                logger.exception("scheduler step failed; aborting in-flight reqs")
+                self._fail_all()
+                continue
+            for req in updated:
+                state = self._states.get(req.rid)
+                if state is None:
+                    continue
+                self._emit(state)
+                if req.finished:
+                    self._states.pop(req.rid, None)
+
+    def _drain_intake(self, block: bool) -> None:
+        try:
+            state = self.intake.get(timeout=0.005 if block else 0)
+        except queue.Empty:
+            return
+        while True:
+            self._states[state.req.rid] = state
+            self.scheduler.add_request(state.req)
+            if state.req.status == ReqStatus.ABORTED:
+                # rejected at intake (e.g. prompt too long)
+                state.out_queue.put(self._final_chunk(state))
+                self._states.pop(state.req.rid, None)
+            try:
+                state = self.intake.get_nowait()
+            except queue.Empty:
+                return
+
+    def _drain_aborts(self) -> None:
+        while True:
+            try:
+                rid = self._abort_rids.get_nowait()
+            except queue.Empty:
+                return
+            if self.scheduler.abort_request(rid):
+                state = self._states.pop(rid, None)
+                if state is not None:
+                    state.out_queue.put(self._final_chunk(state))
+
+    def _fail_all(self) -> None:
+        for rid in list(self._states):
+            self.scheduler.abort_request(rid)
+            state = self._states.pop(rid)
+            state.req.status = ReqStatus.ABORTED
+            state.req.finish_reason = FinishReason.ABORT
+            state.out_queue.put(self._final_chunk(state))
+
+    # ------------------------------------------------------------- emission
+
+    def _emit(self, state: ReqState) -> None:
+        req = state.req
+        new_text = ""
+        if self.detok is not None and not req.is_chunked:
+            if req.finished:
+                new_text = self.detok.finalize(state.detok_status, req.output_ids)
+            else:
+                new_text = self.detok.step(state.detok_status, req.output_ids)
+            # Stop strings (reference: detokenizer_manager.py:113 trimming +
+            # Req stop-str finish check).
+            stops = req.sampling_params.stop
+            if stops and not req.finished:
+                hit = find_stop_str(state.detok_status.decoded_text, stops)
+                if hit is not None:
+                    cut, _ = hit
+                    state.detok_status.decoded_text = state.detok_status.decoded_text[:cut]
+                    req.status = ReqStatus.FINISHED
+                    req.finish_reason = FinishReason.STOP_STR
+                    self.scheduler.abort_request(req.rid)
+                    req.status = ReqStatus.FINISHED  # abort_request sets ABORTED
+                    req.finish_reason = FinishReason.STOP_STR
+
+        if req.finished:
+            state.out_queue.put(self._final_chunk(state))
+            return
+        if len(req.output_ids) - state.last_len >= self.stream_interval:
+            stops = req.sampling_params.stop
+            text = state.detok_status.decoded_text if state.detok_status else ""
+            # Hold back a possible stop-string prefix from the stream.
+            hold = partial_stop_len(text, stops) if stops else 0
+            safe = len(text) - hold
+            chunk_text = text[state.text_sent : safe] if safe > state.text_sent else ""
+            state.out_queue.put(
+                {
+                    "rid": req.rid,
+                    "text": chunk_text,
+                    "output_ids": list(req.output_ids[state.last_len :]),
+                    "finished": False,
+                }
+            )
+            if chunk_text:
+                state.text_sent = safe
+            state.last_len = len(req.output_ids)
+
+    def _final_chunk(self, state: ReqState) -> Dict[str, Any]:
+        req = state.req
+        text = state.detok_status.decoded_text if state.detok_status else ""
+        return {
+            "rid": req.rid,
+            "text": text[state.text_sent :],
+            "full_text": text,
+            "output_ids": list(req.output_ids[state.last_len :]),
+            "all_output_ids": list(req.output_ids),
+            "finished": True,
+            "meta_info": {
+                "id": req.rid,
+                "prompt_tokens": req.prompt_len,
+                "completion_tokens": len(req.output_ids),
+                "cached_tokens": req.cached_tokens,
+                "finish_reason": {
+                    "type": req.finish_reason.value if req.finish_reason else None
+                },
+                "e2e_latency": (
+                    (req.finished_time or time.monotonic()) - req.arrival_time
+                ),
+                "ttft": (
+                    (req.first_token_time - req.arrival_time)
+                    if req.first_token_time
+                    else None
+                ),
+            },
+        }
+
+
+def make_request(
+    input_ids: List[int],
+    sampling_params: Optional[Dict[str, Any]],
+    eos_token_ids: set,
+    rid: Optional[str] = None,
+) -> Req:
+    sp = SamplingParams(**(sampling_params or {}))
+    sp.verify()
+    return Req(
+        rid=rid or uuid.uuid4().hex,
+        input_ids=list(input_ids),
+        sampling_params=sp,
+        eos_token_ids=eos_token_ids,
+    )

@@ -5,14 +5,15 @@ TPU-native re-design of the reference's KV pools
 — per-layer K/V torch tensors indexed at token granularity). Here the pool
 is a single fused jax array with layout
 
-    kv[L, num_pages, page_size, 2 * num_kv_heads, head_dim]
+    kv[L, 2, num_kv_heads, num_pages, page_size, head_dim]
 
-K and V for kv-head h are interleaved at indices (2h, 2h+1). This layout is
-chosen for the Pallas ragged-paged-attention kernel: one page DMA fetches
-the K and V of a head together, and the last two dims form MXU/VPU-friendly
-(page_size, head_dim) tiles. The array is *donated* through every jitted
-step so XLA aliases the buffer in place — the functional-update analog of
-the reference mutating torch tensors.
+K/V and head are *leading* dims. This layout is chosen for the Pallas
+ragged-paged-attention kernel: Mosaic tiles only the last two dims
+(page_size, head_dim), so any per-page / per-head DMA slice cuts exclusively
+untiled leading dims — always legal and never forces an in-kernel
+reshape/transpose. The array is *donated* through every jitted step so XLA
+aliases the buffer in place — the functional-update analog of the reference
+mutating torch tensors.
 
 Sharding: kv heads are split over the ``tensor`` mesh axis (same axis as
 attention heads in the weights), so KV never moves across chips during
@@ -32,13 +33,13 @@ from sglang_custom_tpu.parallel.mesh import MeshContext, TENSOR_AXIS
 
 
 def kv_cache_shape(cfg: ModelConfig, num_pages: int, page_size: int):
-    return (cfg.num_layers, num_pages, page_size, 2 * cfg.num_kv_heads, cfg.head_dim)
+    return (cfg.num_layers, 2, cfg.num_kv_heads, num_pages, page_size, cfg.head_dim)
 
 
 def kv_cache_sharding(mesh_ctx: MeshContext, num_kv_heads: int):
     """Shard the kv-head axis over ``tensor`` when divisible, else replicate."""
-    if (2 * num_kv_heads) % mesh_ctx.tp_size == 0 and mesh_ctx.tp_size > 1:
-        return mesh_ctx.sharding(None, None, None, TENSOR_AXIS, None)
+    if num_kv_heads % mesh_ctx.tp_size == 0 and mesh_ctx.tp_size > 1:
+        return mesh_ctx.sharding(None, None, TENSOR_AXIS, None, None, None)
     return mesh_ctx.replicated
 
 
@@ -46,20 +47,20 @@ def kv_cache_sharding(mesh_ctx: MeshContext, num_kv_heads: int):
 class KVCachePool:
     """Owns the device KV array and its geometry."""
 
-    kv: jax.Array  # [L, P, page_size, 2*Hkv, D]
+    kv: jax.Array  # [L, 2, Hkv, P, page_size, D]
     page_size: int
 
     @property
     def num_pages(self) -> int:
-        return self.kv.shape[1]
+        return self.kv.shape[3]
 
     @property
     def num_kv_heads(self) -> int:
-        return self.kv.shape[3] // 2
+        return self.kv.shape[2]
 
     @property
     def head_dim(self) -> int:
-        return self.kv.shape[4]
+        return self.kv.shape[5]
 
     @staticmethod
     def create(

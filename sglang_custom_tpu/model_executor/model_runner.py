@@ -76,7 +76,7 @@ class ModelRunner:
         self.dtype = _DTYPES[server_args.dtype]
         self.kv_dtype = _DTYPES.get(server_args.kv_cache_dtype, jnp.bfloat16)
         self.page_size = server_args.page_size
-        self.attn_backend = XlaAttentionBackend()
+        self.attn_backend = self._create_attn_backend()
 
         self.context_len = server_args.context_length or cfg.max_position_embeddings
         self.max_pages_per_req = (
@@ -95,6 +95,38 @@ class ModelRunner:
         )
         self._step_counter = 0
         self._base_key = jax.random.PRNGKey(server_args.random_seed)
+
+    def _create_attn_backend(self):
+        """Backend dispatch (reference: model_runner.py:1313): Pallas on TPU,
+        XLA reference elsewhere or when forced."""
+        choice = self.server_args.attention_backend
+        if choice == "auto":
+            on_tpu = any(
+                d.platform == "tpu" for d in self.mesh_ctx.mesh.devices.flat
+            )
+            choice = "pallas" if on_tpu else "xla"
+        if choice == "pallas":
+            from sglang_custom_tpu.ops.ragged_paged_attention import (
+                supports_geometry,
+            )
+
+            if not supports_geometry(
+                self.cfg.head_dim, self.server_args.page_size, self.kv_dtype
+            ):
+                logger.warning(
+                    "Pallas attention unsupported for head_dim=%d page_size=%d; "
+                    "falling back to XLA backend",
+                    self.cfg.head_dim,
+                    self.server_args.page_size,
+                )
+                choice = "xla"
+        if choice == "pallas":
+            from sglang_custom_tpu.layers.attention.pallas_backend import (
+                PallasAttentionBackend,
+            )
+
+            return PallasAttentionBackend()
+        return XlaAttentionBackend()
 
     # ------------------------------------------------------------- mem sizing
 

@@ -130,18 +130,23 @@ def load_dummy_weights(
     path_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
     keys = list(jax.random.split(jax.random.PRNGKey(seed), len(path_leaves)))
 
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    rng = np.random.Generator(np.random.SFC64(seed))
+    # One random block, tiled: dummy weights only need plausible magnitudes,
+    # not independence — generating ~1e9 gaussians per model is pure waste.
+    block = (rng.standard_normal(1 << 20, dtype=np.float32) * 0.02).astype(np_dtype)
+
     def init(path, shape_struct, sharding, key):
+        # Host-side generation: a device-side random-init would pay one
+        # remote compile per tensor; dummy weights are perf-only anyway.
         name = "/".join(str(getattr(p, "key", p)) for p in path)
         if "norm" in name:
-            return jax.jit(
-                lambda: jnp.ones(shape_struct.shape, dtype), out_shardings=sharding
-            )()
-        return jax.jit(
-            lambda k: (
-                jax.random.normal(k, shape_struct.shape, jnp.float32) * 0.02
-            ).astype(dtype),
-            out_shardings=sharding,
-        )(key)
+            w = np.ones(shape_struct.shape, np_dtype)
+        else:
+            n = int(np.prod(shape_struct.shape))
+            reps = -(-n // block.size)
+            w = np.tile(block, reps)[:n].reshape(shape_struct.shape)
+        return jax.device_put(w, sharding)
 
     out_leaves = [
         init(path, s, sh, k)

@@ -1,0 +1,377 @@
+"""Pallas ragged paged attention kernels.
+
+The TPU-native equivalent of the reference's attention kernel zoo
+(reference: srt/layers/attention/flashinfer_backend.py, triton_ops/
+decode_attention.py — paged KV decode/extend kernels; sgl-kernel csrc).
+Re-designed for the TPU memory system rather than translated:
+
+- KV pages live in HBM with layout ``[2, Hkv, P, page_size, D]`` (K/V and
+  head as *leading* dims, memory_pool.py). Every DMA slices only leading
+  (untiled) dims, so Mosaic's (sublane, lane) tiling constraints never
+  apply to a partial slice — the tiled dims (page_size, D) always move
+  whole. No in-kernel reshape/transpose of K or V is ever needed.
+- Pages are fetched in *strips* of KB pages per DMA round so the KV block
+  a matmul sees is >=128 tokens wide (full MXU/VPU lanes), double-buffered
+  to overlap DMA with the online-softmax update (flash-attention style).
+- Page indices are scalar-prefetched (SMEM) so the kernel issues page DMAs
+  before compute.
+- GQA is a batched matmul over kv-heads: q ``[Hkv, G, D]`` x k
+  ``[Hkv, S, D]`` — no head replication is ever materialized.
+
+See PAPERS.md "Ragged Paged Attention" for the general TPU design space.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+# Target tokens per KV strip (lanes of the score matmul).
+_STRIP_TOKENS = 128
+
+
+def supports_geometry(head_dim: int, page_size: int, kv_dtype) -> bool:
+    """Whether these kernels compile on real TPU hardware for this KV
+    geometry. The page DMA copies whole (page_size, head_dim) tiles, so the
+    lane dim (head_dim) must be a multiple of the 128-lane register width
+    and the sublane dim (page_size) a multiple of the dtype's sublane count
+    — Mosaic rejects sub-tile DMA slices otherwise."""
+    sub = 16 if kv_dtype == jnp.bfloat16 else 8
+    return head_dim % 128 == 0 and page_size % sub == 0
+
+
+def _strip_pages(page_size: int, kv_dtype) -> int:
+    """Pages per DMA round. Strip offsets inside the scratch buffer must be
+    sublane-aligned for the kv dtype; fall back to 1 page per round if the
+    page size itself is unaligned."""
+    sub = 16 if kv_dtype == jnp.bfloat16 else 8
+    if page_size % sub != 0:
+        return 1
+    return max(1, _STRIP_TOKENS // page_size)
+
+
+def _strip_dmas(kv_ref, kv_scratch, sems, page_table_ref, *,
+                slot, strip, kb, ps, pmax, row_off):
+    """The KB page-DMAs of one strip: HBM pages -> contiguous scratch run.
+
+    kv_ref     : [2, Hkv, P, ps, D] (HBM)
+    kv_scratch : [2slots, 2, Hkv, KB*ps, D] (VMEM)
+    sems       : [2slots, KB]
+    """
+    dmas = []
+    for j in range(kb):
+        # Clamp reads past the table to its last entry; masked in compute.
+        idx = jnp.minimum(strip * kb + j, pmax - 1)
+        page = page_table_ref[row_off + idx]
+        dmas.append(
+            pltpu.make_async_copy(
+                kv_ref.at[:, :, page],
+                kv_scratch.at[slot, :, :, pl.ds(j * ps, ps)],
+                sems.at[slot, j],
+            )
+        )
+    return dmas
+
+
+def _decode_kernel(
+    # scalar prefetch
+    page_table_ref,  # [B * PMAX] int32 (SMEM)
+    seq_lens_ref,    # [B] int32 (SMEM)
+    # inputs
+    q_ref,           # [1, Hq, D] (VMEM block)
+    kv_ref,          # [2, Hkv, P, ps, D] (HBM / ANY)
+    # outputs
+    o_ref,           # [1, Hq, D] (VMEM block)
+    # scratch
+    kv_scratch,      # [2, 2, Hkv, KB*ps, D] (VMEM)
+    sems,            # [2, KB] DMA semaphores
+    *,
+    scale: float,
+    pmax: int,
+    kb: int,
+    num_kv_heads: int,
+):
+    b = pl.program_id(0)
+    ps = kv_scratch.shape[3] // kb
+    S = kv_scratch.shape[3]
+    D = q_ref.shape[2]
+    Hq = q_ref.shape[1]
+    G = Hq // num_kv_heads
+
+    seq_len = seq_lens_ref[b]
+    n_strips = pl.cdiv(seq_len, S)
+
+    def strip_dmas(slot, i):
+        return _strip_dmas(
+            kv_ref, kv_scratch, sems, page_table_ref,
+            slot=slot, strip=i, kb=kb, ps=ps, pmax=pmax, row_off=b * pmax,
+        )
+
+    for d in strip_dmas(0, 0):
+        d.start()
+
+    q = q_ref[0].reshape(num_kv_heads, G, D).astype(jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = i % 2
+
+        @pl.when(i + 1 < n_strips)
+        def _():
+            for d in strip_dmas((i + 1) % 2, i + 1):
+                d.start()
+
+        for d in strip_dmas(slot, i):
+            d.wait()
+        k = kv_scratch[slot, 0].astype(jnp.float32)  # [Hkv, S, D]
+        v = kv_scratch[slot, 1].astype(jnp.float32)
+
+        # scores [Hkv, G, S]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        kv_pos = i * S + jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+        s = jnp.where(kv_pos < seq_len, s, _NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m - m_new)
+        l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
+        # pv [Hkv, G, D]
+        pv = jax.lax.dot_general(
+            p, v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_new = acc * correction + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((num_kv_heads, G, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((num_kv_heads, G, 1), jnp.float32)
+    acc0 = jnp.zeros((num_kv_heads, G, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_strips, body, (m0, l0, acc0))
+
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0] = out.reshape(Hq, D).astype(o_ref.dtype)
+
+
+def _extend_kernel(
+    # scalar prefetch
+    page_table_ref,   # [B * PMAX] int32 (SMEM)
+    seq_lens_ref,     # [B] int32
+    extend_lens_ref,  # [B] int32
+    # inputs
+    q_ref,            # [1, Hkv, TB, G, D] block (VMEM), head-major layout
+    kv_ref,           # [2, Hkv, P, ps, D] (HBM)
+    # outputs
+    o_ref,            # [1, Hkv, TB, G, D] block (VMEM)
+    # scratch
+    kv_scratch,       # [2, 2, Hkv, KB*ps, D]
+    sems,             # [2, KB]
+    *,
+    scale: float,
+    pmax: int,
+    kb: int,
+    num_kv_heads: int,
+):
+    # Grid = (B, num_blocks). q/out are pre-arranged [B, Hkv, T, G, D] so a
+    # grid cell owns whole (sublane, lane) tiles — Mosaic disallows
+    # dynamically-offset sub-tile stores, so head grouping happens in the
+    # BlockSpec layout, not in the kernel.
+    b = pl.program_id(0)
+    tb = pl.program_id(1)
+    ps = kv_scratch.shape[3] // kb
+    S = kv_scratch.shape[3]
+    TB = q_ref.shape[2]
+    G = q_ref.shape[3]
+    D = q_ref.shape[4]
+    Hkv = num_kv_heads
+
+    seq_len = seq_lens_ref[b]
+    ext = extend_lens_ref[b]
+    start = seq_len - ext                       # abs position of q token 0
+    blk_start = tb * TB                          # q-token offset in this row
+    # Only blocks holding real extend tokens do work; the rest still zero
+    # their output so o_ref is fully defined.
+    active = blk_start < ext
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        o_ref[0] = jnp.zeros((Hkv, TB, G, D), dtype=o_ref.dtype)
+
+    @pl.when(active)
+    def _():
+        # Highest absolute position any q row in this block attends to.
+        q_hi = start + jnp.minimum(blk_start + TB, ext) - 1
+        n_strips = pl.cdiv(jnp.minimum(q_hi + 1, seq_len), S)
+
+        def strip_dmas(slot, i):
+            return _strip_dmas(
+                kv_ref, kv_scratch, sems, page_table_ref,
+                slot=slot, strip=i, kb=kb, ps=ps, pmax=pmax, row_off=b * pmax,
+            )
+
+        for d in strip_dmas(0, 0):
+            d.start()
+
+        q = q_ref[0].reshape(Hkv, TB * G, D).astype(jnp.float32)
+        # Absolute position of each q row (row r belongs to token r // G).
+        row_tok = jax.lax.broadcasted_iota(jnp.int32, (1, TB * G, 1), 1) // G
+        q_pos = start + blk_start + row_tok  # [1, TB*G, 1]
+
+        def body(i, carry):
+            m, l, acc = carry
+            slot = i % 2
+
+            @pl.when(i + 1 < n_strips)
+            def _():
+                for d in strip_dmas((i + 1) % 2, i + 1):
+                    d.start()
+
+            for d in strip_dmas(slot, i):
+                d.wait()
+            k = kv_scratch[slot, 0].astype(jnp.float32)  # [Hkv, S, D]
+            v = kv_scratch[slot, 1].astype(jnp.float32)
+
+            # scores [Hkv, TB*G, S]
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            kv_pos = i * S + jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+            mask = (kv_pos <= q_pos) & (kv_pos < seq_len)
+            s = jnp.where(mask, s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            correction = jnp.exp(m - m_new)
+            l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
+            # pv [Hkv, TB*G, D]
+            pv = jax.lax.dot_general(
+                p, v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc * correction + pv
+
+        m0 = jnp.full((Hkv, TB * G, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((Hkv, TB * G, 1), jnp.float32)
+        acc0 = jnp.zeros((Hkv, TB * G, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_strips, body, (m0, l0, acc0))
+
+        out = acc / jnp.maximum(l, 1e-30)
+        o_ref[0] = out.reshape(Hkv, TB, G, D).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "q_block", "interpret")
+)
+def paged_attention_extend(
+    q: jax.Array,            # [B, T, Hq, D]
+    kv_pages: jax.Array,     # [2, Hkv, P, ps, D]
+    page_table: jax.Array,   # [B, PMAX] int32
+    seq_lens: jax.Array,     # [B] int32 (total context incl. new tokens)
+    extend_lens: jax.Array,  # [B] int32 (new tokens this step)
+    *,
+    scale: float,
+    q_block: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Ragged chunked-prefill attention over paged KV. Returns [B, T, Hq, D].
+
+    Causal within the extend; full attention over the cached prefix —
+    the fused equivalent of the reference's extend_attention + prefix-cache
+    merge path (triton_ops/extend_attention.py, merge_state).
+    """
+    B, T, Hq, D = q.shape
+    _, num_kv_heads, P, ps, _ = kv_pages.shape
+    G = Hq // num_kv_heads
+    pmax = page_table.shape[1]
+    kb = min(_strip_pages(ps, kv_pages.dtype), pmax)
+    TB = min(q_block, T)
+    num_blocks = pl.cdiv(T, TB)
+    Tp = num_blocks * TB
+    if Tp != T:
+        q = jnp.pad(q, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+    # Head-major layout: [B, Hkv, Tp, G, D] so each (b, tb) grid cell owns
+    # whole tiles (see kernel comment).
+    qh = q.reshape(B, Tp, num_kv_heads, G, D).transpose(0, 2, 1, 3, 4)
+
+    kernel = functools.partial(
+        _extend_kernel, scale=scale, pmax=pmax, kb=kb,
+        num_kv_heads=num_kv_heads,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, num_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, num_kv_heads, TB, G, D), lambda b, tb, *_: (b, 0, tb, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, num_kv_heads, TB, G, D), lambda b, tb, *_: (b, 0, tb, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, num_kv_heads, kb * ps, D), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, kb)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
+        interpret=interpret,
+    )(page_table.reshape(-1), seq_lens, extend_lens, qh, kv_pages)
+    return out.transpose(0, 2, 1, 3, 4).reshape(B, Tp, Hq, D)[:, :T]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_attention_decode(
+    q: jax.Array,          # [B, Hq, D]
+    kv_pages: jax.Array,   # [2, Hkv, P, ps, D]
+    page_table: jax.Array, # [B, PMAX] int32
+    seq_lens: jax.Array,   # [B] int32
+    *,
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-token-per-sequence paged attention. Returns [B, Hq, D]."""
+    B, Hq, D = q.shape
+    _, num_kv_heads, P, ps, _ = kv_pages.shape
+    pmax = page_table.shape[1]
+    kb = min(_strip_pages(ps, kv_pages.dtype), pmax)
+
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, pmax=pmax, kb=kb,
+        num_kv_heads=num_kv_heads,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hq, D), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Hq, D), lambda b, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, num_kv_heads, kb * ps, D), kv_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, kb)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        interpret=interpret,
+    )(page_table.reshape(-1), seq_lens, q, kv_pages)

@@ -1,0 +1,140 @@
+"""SchedulerThread / streaming Engine tests.
+
+Reference analog: srt tests exercise streaming via /generate with
+stream=True (test/srt/test_srt_endpoint.py) and abort handling.
+"""
+
+import threading
+import time
+
+import pytest
+
+from sglang_custom_tpu.config.server_args import ServerArgs
+from sglang_custom_tpu.entrypoints.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_llama_path_mod):
+    args = ServerArgs(
+        model_path=tiny_llama_path_mod,
+        dtype="float32",
+        device="cpu",
+        page_size=16,
+        skip_tokenizer_init=True,
+        schedule_policy="lpm",
+    )
+    eng = Engine(server_args=args, num_pages=256)
+    yield eng
+    eng.shutdown()
+
+
+@pytest.fixture(scope="module")
+def tiny_llama_path_mod(tmp_path_factory):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    path = tmp_path_factory.mktemp("tiny_llama_stream")
+    cfg = LlamaConfig(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    LlamaForCausalLM(cfg).to(torch.float32).save_pretrained(
+        path, safe_serialization=True
+    )
+    return str(path)
+
+
+def test_generate_via_thread(engine):
+    out = engine.generate(
+        input_ids=[1, 5, 7, 9], sampling_params={"max_new_tokens": 8}
+    )
+    assert len(out["output_ids"]) <= 8
+    assert out["meta_info"]["completion_tokens"] == len(out["output_ids"])
+    assert out["meta_info"]["finish_reason"]["type"] is not None
+
+
+def test_streaming_chunks(engine):
+    chunks = list(
+        engine.generate(
+            input_ids=[2, 4, 6, 8, 10],
+            sampling_params={"max_new_tokens": 12, "ignore_eos": True},
+            stream=True,
+        )
+    )
+    assert chunks[-1]["finished"]
+    all_ids = []
+    for c in chunks:
+        all_ids.extend(c["output_ids"])
+    assert all_ids == chunks[-1]["all_output_ids"]
+    assert len(all_ids) == 12
+    # intermediate chunks arrived incrementally
+    assert len(chunks) > 1
+
+
+def test_concurrent_callers(engine):
+    results = {}
+
+    def worker(seed):
+        out = engine.generate(
+            input_ids=[seed, seed + 1, seed + 2],
+            sampling_params={"max_new_tokens": 6, "ignore_eos": True},
+        )
+        results[seed] = out
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in (11, 22, 33, 44)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert len(results) == 4
+    for out in results.values():
+        assert len(out["output_ids"]) == 6
+
+
+def test_abort(engine):
+    gen = engine.generate(
+        input_ids=[3, 1, 4, 1, 5],
+        sampling_params={"max_new_tokens": 400, "ignore_eos": True},
+        stream=True,
+        rid="abort-me",
+    )
+    first = next(gen)
+    engine.abort_request("abort-me")
+    chunks = list(gen)
+    assert chunks[-1]["finished"]
+    assert chunks[-1]["meta_info"]["finish_reason"]["type"] == "abort"
+
+
+def test_async_generate(engine):
+    import asyncio
+
+    async def run():
+        out = await engine.async_generate(
+            input_ids=[7, 8, 9], sampling_params={"max_new_tokens": 5}
+        )
+        agen = await engine.async_generate(
+            input_ids=[9, 8, 7],
+            sampling_params={"max_new_tokens": 5, "ignore_eos": True},
+            stream=True,
+        )
+        chunks = [c async for c in agen]
+        return out, chunks
+
+    out, chunks = asyncio.run(run())
+    assert len(out["output_ids"]) <= 5
+    assert chunks[-1]["finished"]
+
+
+def test_memory_clean_after_serving(engine):
+    # Idle leak check (reference: scheduler.py:1496 check_memory).
+    deadline = time.monotonic() + 30
+    while engine.scheduler.has_work and time.monotonic() < deadline:
+        time.sleep(0.05)
+    engine.check_memory()

@@ -1,0 +1,137 @@
+"""Pallas ragged paged attention vs the pure-XLA reference backend.
+
+Reference analog: kernel unit tests like python/sglang/test/attention/
+test_flashattn_backend.py — kernel output diffed against a naive SDPA.
+Runs the kernel in interpreter mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sglang_custom_tpu.ops.ragged_paged_attention import (
+    paged_attention_decode,
+    paged_attention_extend,
+)
+
+
+def make_case(B, Hq, Hkv, D, ps, pmax, seed=0):
+    rng = np.random.RandomState(seed)
+    P = B * pmax + 1
+    kv = rng.randn(2, Hkv, P, ps, D).astype(np.float32)
+    # each seq gets its own pages (1-based, page 0 = garbage)
+    page_table = np.zeros((B, pmax), np.int32)
+    for b in range(B):
+        page_table[b] = np.arange(1 + b * pmax, 1 + (b + 1) * pmax)
+    seq_lens = rng.randint(1, pmax * ps + 1, size=B).astype(np.int32)
+    q = rng.randn(B, Hq, D).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(kv), jnp.asarray(page_table), jnp.asarray(seq_lens)
+
+
+def xla_reference(q, kv, page_table, seq_lens, scale):
+    """Dense-gather reference: mask + softmax over the padded context."""
+    B, Hq, D = q.shape
+    _, Hkv, P, ps, _ = kv.shape
+    G = Hq // Hkv
+    S = page_table.shape[1] * ps
+    gathered = kv[:, :, page_table]  # [2, Hkv, B, PMAX, ps, D]
+    k = gathered[0].reshape(Hkv, B, S, D)
+    v = gathered[1].reshape(Hkv, B, S, D)
+    qg = q.reshape(B, Hkv, G, D)
+    s = jnp.einsum("bkgd,kbsd->bkgs", qg, k) * scale
+    kv_pos = jnp.arange(S)[None, None, None, :]
+    s = jnp.where(kv_pos < seq_lens[:, None, None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bkgs,kbsd->bkgd", p, v)
+    return o.reshape(B, Hq, D)
+
+
+@pytest.mark.parametrize(
+    "B,Hq,Hkv,D,ps,pmax",
+    [
+        (4, 8, 4, 64, 16, 4),
+        (2, 8, 8, 128, 32, 2),   # MHA
+        (3, 16, 2, 64, 8, 5),    # high GQA ratio
+        (1, 4, 1, 128, 16, 3),
+        (2, 8, 4, 64, 16, 16),   # multi-strip: kb=8, 2 strips
+    ],
+)
+def test_decode_kernel_matches_reference(B, Hq, Hkv, D, ps, pmax):
+    q, kv, page_table, seq_lens = make_case(B, Hq, Hkv, D, ps, pmax)
+    scale = 1.0 / np.sqrt(D)
+    out = paged_attention_decode(
+        q, kv, page_table, seq_lens, scale=scale, interpret=True
+    )
+    ref = xla_reference(q, kv, page_table, seq_lens, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def xla_extend_reference(q, kv, page_table, seq_lens, extend_lens, scale):
+    """Dense reference with causal-within-extend masking."""
+    B, T, Hq, D = q.shape
+    _, Hkv, P, ps, _ = kv.shape
+    G = Hq // Hkv
+    S = page_table.shape[1] * ps
+    gathered = kv[:, :, page_table]
+    k = gathered[0].reshape(Hkv, B, S, D)
+    v = gathered[1].reshape(Hkv, B, S, D)
+    qg = q.reshape(B, T, Hkv, G, D)
+    s = jnp.einsum("btkgd,kbsd->bktgs", qg, k) * scale
+    kv_pos = jnp.arange(S)[None, None, None, None, :]
+    start = (seq_lens - extend_lens)[:, None, None, None, None]
+    q_pos = start + jnp.arange(T)[None, None, :, None, None]
+    mask = (kv_pos <= q_pos) & (kv_pos < seq_lens[:, None, None, None, None])
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bktgs,kbsd->btkgd", p, v)
+    return o.reshape(B, T, Hq, D)
+
+
+@pytest.mark.parametrize(
+    "B,Hq,Hkv,D,ps,pmax,T,q_block",
+    [
+        (2, 8, 4, 64, 16, 4, 16, 8),      # 2 q blocks, ragged extends
+        (3, 8, 2, 64, 8, 6, 24, 16),      # partial last block
+        (1, 4, 4, 128, 16, 2, 8, 8),      # MHA one block
+        (2, 8, 4, 64, 8, 32, 16, 16),     # multi-strip prefix: kb=16, 2 strips
+    ],
+)
+def test_extend_kernel_matches_reference(B, Hq, Hkv, D, ps, pmax, T, q_block):
+    rng = np.random.RandomState(1)
+    P = B * pmax + 1
+    kv = jnp.asarray(rng.randn(2, Hkv, P, ps, D).astype(np.float32))
+    page_table = np.zeros((B, pmax), np.int32)
+    for b in range(B):
+        page_table[b] = np.arange(1 + b * pmax, 1 + (b + 1) * pmax)
+    page_table = jnp.asarray(page_table)
+    # ragged: each row has its own (prefix, extend) split
+    extend_lens = jnp.asarray(rng.randint(1, T + 1, size=B), jnp.int32)
+    prefix = jnp.asarray(rng.randint(0, pmax * ps - T, size=B), jnp.int32)
+    seq_lens = prefix + extend_lens
+    q = jnp.asarray(rng.randn(B, T, Hq, D).astype(np.float32))
+    scale = 1.0 / np.sqrt(D)
+
+    out = paged_attention_extend(
+        q, kv, page_table, seq_lens, extend_lens,
+        scale=scale, q_block=q_block, interpret=True,
+    )
+    ref = xla_extend_reference(q, kv, page_table, seq_lens, extend_lens, scale)
+    # only rows t < extend_len are meaningful
+    for b in range(B):
+        e = int(extend_lens[b])
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :e], np.asarray(ref)[b, :e],
+            rtol=2e-5, atol=2e-5, err_msg=f"row {b} ext={e}",
+        )
+
+
+def test_decode_kernel_single_token_seq():
+    q, kv, page_table, seq_lens = make_case(2, 8, 4, 64, 16, 2)
+    seq_lens = jnp.asarray([1, 5], jnp.int32)
+    scale = 0.125
+    out = paged_attention_decode(
+        q, kv, page_table, seq_lens, scale=scale, interpret=True
+    )
+    ref = xla_reference(q, kv, page_table, seq_lens, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
