@@ -40,6 +40,14 @@ class ServerArgs:
     attention_backend: str = "auto"    # auto | pallas | xla
     schedule_conservativeness: float = 1.0
     stream_interval: int = 1
+    # Decode-burst: run K decode iterations inside one jitted device program
+    # (lax.scan), so sampled tokens feed the next iteration on-device and the
+    # host pays one dispatch per K tokens. The TPU-native answer to the
+    # reference's overlap scheduler (tp_worker_overlap_thread.py:53 hides
+    # host work behind one GPU step; here the host leaves the loop
+    # entirely). 1 disables. Finished-mid-burst rows waste their remaining
+    # iterations, mirroring the overlap scheduler's one-step lag.
+    decode_burst_size: int = 8
 
     # Parallelism (mesh axes over ICI/DCN)
     tp_size: int = 1                   # tensor axis

@@ -27,7 +27,7 @@ class AttentionBackend(abc.ABC):
 
     Shapes:
         q, k_new, v_new : [B, T, H(q|kv), D]   (post-RoPE)
-        layer_kv        : [2, Hkv, P, page_size, D]  (K/V + head leading)
+        layer_kv        : [Hkv, P, page_size, 2, D]  (K/V folded in lanes)
     Returns (attn_out [B, T, Hq, D], updated layer_kv).
     """
 
@@ -58,7 +58,7 @@ def write_kv_pages(
     import jax.numpy as jnp
 
     B, T, Hkv, D = k_new.shape
-    _, _, P, ps, _ = layer_kv.shape
+    _, P, ps = layer_kv.shape[:3]
     pos = meta.positions  # [B, T]
     page = jnp.take_along_axis(meta.page_table, pos // ps, axis=1)  # [B, T]
     valid = (
@@ -66,9 +66,10 @@ def write_kv_pages(
         < meta.extend_lens[:, None]
     )
     slots = jnp.where(valid, page * ps + pos % ps, pos % ps)  # garbage page = 0
-    # [2, Hkv, B*T, D] to match the pool's head-leading layout.
-    kv_new = jnp.stack([k_new, v_new]).reshape(2, B * T, Hkv, D)
-    kv_new = kv_new.transpose(0, 2, 1, 3).astype(layer_kv.dtype)
-    flat = layer_kv.reshape(2, Hkv, P * ps, D)
-    flat = flat.at[:, :, slots.reshape(-1)].set(kv_new, mode="drop")
+    # [Hkv, B*T, 2, D] to match the pool's head-leading K/V-folded layout.
+    kv_new = jnp.stack([k_new, v_new], axis=3)  # [B, T, Hkv, 2, D]
+    kv_new = kv_new.reshape(B * T, Hkv, 2, D).transpose(1, 0, 2, 3)
+    kv_new = kv_new.astype(layer_kv.dtype)
+    flat = layer_kv.reshape(Hkv, P * ps, 2, D)
+    flat = flat.at[:, slots.reshape(-1)].set(kv_new, mode="drop")
     return flat.reshape(layer_kv.shape)

@@ -3,9 +3,8 @@
 Analog of the reference's flashinfer/triton backends
 (reference: srt/layers/attention/flashinfer_backend.py — the default CUDA
 production backend chosen by model_runner.py:1313). Decode (T==1) runs the
-Pallas ragged-paged kernel; extend currently falls back to the XLA gather
-path (prefill is MXU-bound, so the gather overhead amortizes over the many
-query tokens — the dedicated extend kernel lands with the perf phase).
+Pallas ragged-paged decode kernel; extend runs the chunked-prefill kernel
+(causal within the extend, full over the cached prefix).
 """
 
 from __future__ import annotations
@@ -13,7 +12,6 @@ from __future__ import annotations
 import jax
 
 from sglang_custom_tpu.layers.attention.base import AttentionBackend, write_kv_pages
-from sglang_custom_tpu.layers.attention.xla_backend import XlaAttentionBackend
 from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
 from sglang_custom_tpu.ops.ragged_paged_attention import (
     paged_attention_decode,
@@ -24,7 +22,6 @@ from sglang_custom_tpu.ops.ragged_paged_attention import (
 class PallasAttentionBackend(AttentionBackend):
     def __init__(self, interpret: bool = False):
         self.interpret = interpret
-        self._xla_fallback = XlaAttentionBackend()
 
     def __call__(
         self,

@@ -32,14 +32,14 @@ class XlaAttentionBackend(AttentionBackend):
         layer_kv = write_kv_pages(k_new, v_new, layer_kv, meta)
 
         B, T, Hq, D = q.shape
-        _, Hkv, P, ps, _ = layer_kv.shape
+        Hkv, P, ps = layer_kv.shape[:3]
         G = Hq // Hkv
         S = meta.page_table.shape[1] * ps  # padded context length (bucketed)
 
-        # Gather the pages of every request: [2, Hkv, B, PMAX, ps, D]
-        gathered = layer_kv[:, :, meta.page_table]
-        k = gathered[0].reshape(Hkv, B, S, D)
-        v = gathered[1].reshape(Hkv, B, S, D)
+        # Gather the pages of every request: [Hkv, B, PMAX, ps, 2, D]
+        gathered = layer_kv[:, meta.page_table]
+        k = gathered[..., 0, :].reshape(Hkv, B, S, D)
+        v = gathered[..., 1, :].reshape(Hkv, B, S, D)
 
         qg = q.reshape(B, T, Hkv, G, D)
         scores = jnp.einsum(

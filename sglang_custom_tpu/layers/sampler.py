@@ -28,6 +28,55 @@ class SamplingMeta:
     min_p: jax.Array        # [B] f32; 0.0 => disabled
 
 
+@struct.dataclass
+class PenaltyMeta:
+    """Inputs for the penalized step variant. Only materialized (and
+    transferred) when some request in the batch actually uses penalties —
+    the default path pays nothing (reference: penaltylib orchestrator,
+    sampling/penaltylib/orchestrator.py:12, which also keeps [B, V] state
+    GPU-side only when required)."""
+
+    output_ids: jax.Array          # [B, Omax] i32, generated tokens so far
+    output_len: jax.Array          # [B] i32
+    frequency_penalty: jax.Array   # [B] f32
+    presence_penalty: jax.Array    # [B] f32
+    repetition_penalty: jax.Array  # [B] f32 (1.0 = disabled)
+    block_eos: jax.Array           # [B] bool (min_new_tokens not reached)
+    eos_ids: jax.Array             # [B, Emax] i32 (-1 padded) tokens to block
+
+
+def apply_penalties(logits: jax.Array, pm: PenaltyMeta) -> jax.Array:
+    """OpenAI-style frequency/presence penalties + HF-style repetition
+    penalty over *generated* tokens, and EOS blocking for min_new_tokens.
+
+    logits: [B, V] f32 -> adjusted [B, V] f32.
+    """
+    B, V = logits.shape
+    Omax = pm.output_ids.shape[1]
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, Omax), 1) < pm.output_len[:, None]
+    )
+    ones = jnp.where(valid, 1.0, 0.0)
+    counts = jnp.zeros((B, V), jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, Omax), 0)
+    counts = counts.at[rows, pm.output_ids].add(ones, mode="drop")
+
+    present = counts > 0
+    logits = logits - counts * pm.frequency_penalty[:, None]
+    logits = logits - jnp.where(present, pm.presence_penalty[:, None], 0.0)
+    # repetition: positive logits divided by p, negative multiplied.
+    rp = pm.repetition_penalty[:, None]
+    rep = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(present, rep, logits)
+    # min_new_tokens: force EOS/stop tokens out of the support.
+    blocked = jnp.zeros((B, V), bool)
+    erows = jax.lax.broadcasted_iota(jnp.int32, pm.eos_ids.shape, 0)
+    eids = jnp.where(pm.eos_ids >= 0, pm.eos_ids, 0)
+    blocked = blocked.at[erows, eids].set(pm.eos_ids >= 0, mode="drop")
+    logits = jnp.where(blocked & pm.block_eos[:, None], _NEG_INF, logits)
+    return logits
+
+
 def sample(
     logits: jax.Array,  # [B, V] f32
     meta: SamplingMeta,

@@ -57,6 +57,7 @@ class Req:
         self.arrival_time = arrival_time if arrival_time is not None else time.monotonic()
 
         self.output_ids: List[int] = []
+        self.output_token_logprobs: List[float] = []
         self.status = ReqStatus.WAITING
         self.finish_reason: Optional[FinishReason] = None
 
@@ -160,6 +161,10 @@ class HostBatch:
     top_k: np.ndarray         # [B]
     top_p: np.ndarray         # [B]
     min_p: np.ndarray         # [B]
+    # penalties (None unless some request needs them)
+    penalties: Optional[dict] = None
+    # decode-burst iterations fused into one device program (decode only)
+    burst: int = 1
 
     @property
     def batch_size(self) -> int:
@@ -213,6 +218,10 @@ def build_batch(
         top_p[i] = sp.top_p
         min_p[i] = sp.min_p
 
+    penalties = None
+    if any(r.sampling_params.needs_penalties for r in reqs):
+        penalties = _build_penalties(reqs)
+
     return HostBatch(
         reqs=reqs,
         is_extend=is_extend,
@@ -225,4 +234,49 @@ def build_batch(
         top_k=top_k,
         top_p=top_p,
         min_p=min_p,
+        penalties=penalties,
     )
+
+
+def _build_penalties(reqs: List[Req]) -> dict:
+    """Numpy penalty inputs (padded per-batch; bucketed by the runner).
+    Reference: sampling/penaltylib — freq/presence counts over generated
+    tokens, min_new_tokens stop-token blocking."""
+    B = len(reqs)
+    omax = max(max((len(r.output_ids) for r in reqs), default=0), 1)
+    emax = max(
+        max(
+            (len(r.eos_token_ids) + len(r.sampling_params.stop_token_ids)
+             for r in reqs),
+            default=0,
+        ),
+        1,
+    )
+    out_ids = np.zeros((B, omax), np.int32)
+    out_len = np.zeros((B,), np.int32)
+    freq = np.zeros((B,), np.float32)
+    pres = np.zeros((B,), np.float32)
+    rep = np.ones((B,), np.float32)
+    block_eos = np.zeros((B,), bool)
+    eos_ids = np.full((B, emax), -1, np.int32)
+    for i, r in enumerate(reqs):
+        sp = r.sampling_params
+        n = len(r.output_ids)
+        out_ids[i, :n] = r.output_ids
+        out_len[i] = n
+        freq[i] = sp.frequency_penalty
+        pres[i] = sp.presence_penalty
+        rep[i] = sp.repetition_penalty
+        if n < sp.min_new_tokens:
+            block_eos[i] = True
+            ids = list(r.eos_token_ids) + list(sp.stop_token_ids)
+            eos_ids[i, : len(ids)] = ids
+    return {
+        "output_ids": out_ids,
+        "output_len": out_len,
+        "frequency_penalty": freq,
+        "presence_penalty": pres,
+        "repetition_penalty": rep,
+        "block_eos": block_eos,
+        "eos_ids": eos_ids,
+    }

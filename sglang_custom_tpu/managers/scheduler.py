@@ -228,25 +228,60 @@ class Scheduler:
     def _get_decode_batch(self) -> Optional[HostBatch]:
         if not self.running_batch:
             return None
-        # Ensure every request has a page for its next token; retract on
+        # Decode-burst K: every row must be able to absorb K tokens (token
+        # budget + context + pages) with no penalties in the batch and no
+        # prefill waiting to interleave; else single-step.
+        K = self.server_args.decode_burst_size
+        if K > 1:
+            ctx = self.runner.context_len
+            ok = not self.waiting_queue and all(
+                r.sampling_params.max_new_tokens - len(r.output_ids) >= K
+                and r.seq_len + K <= ctx
+                and not r.sampling_params.needs_penalties
+                for r in self.running_batch
+            )
+            if not ok:
+                K = 1
+        # Ensure every request has pages for its next K tokens; retract on
         # pressure (reference: update_running_batch :1828 + retract_decode).
         i = 0
         while i < len(self.running_batch):
             r = self.running_batch[i]
-            if not self._extend_req_pages(r, 1):
+            if not self._extend_req_pages(r, K):
                 self._retract_one()
                 # _retract_one pops from the tail; current r may have moved.
                 continue
             i += 1
         if not self.running_batch:
             return None
-        return build_batch(
+        batch = build_batch(
             self.running_batch,
             [1] * len(self.running_batch),
             self.page_size,
             self.runner.cfg.vocab_size,
             is_extend=False,
         )
+        batch.burst = K
+        if K > 1:
+            # The page table must cover seq_len + K - 1 positions; rebuild
+            # with the burst horizon included.
+            batch = self._widen_page_table(batch, K)
+        return batch
+
+    def _widen_page_table(self, batch: HostBatch, K: int) -> HostBatch:
+        import numpy as np
+
+        need = max(
+            (r.computed_len + K + self.page_size - 1) // self.page_size
+            for r in batch.reqs
+        )
+        if need > batch.page_table.shape[1]:
+            wide = np.zeros((len(batch.reqs), need), dtype=np.int32)
+            for i, r in enumerate(batch.reqs):
+                pages = r.page_list[:need]
+                wide[i, : len(pages)] = pages
+            batch.page_table = wide
+        return batch
 
     def _retract_one(self) -> None:
         """Send the youngest running request back to the waiting queue and
@@ -270,18 +305,25 @@ class Scheduler:
     # ------------------------------------------------------------- results
 
     def _process_result(self, batch: HostBatch, tokens, logprobs) -> List[Req]:
+        import numpy as np
+
+        if tokens.ndim == 1:
+            tokens = tokens[:, None]
+            logprobs = logprobs[:, None]
+        K = tokens.shape[1]
         updated: List[Req] = []
         for i, r in enumerate(batch.reqs):
             ext = int(batch.extend_lens[i])
-            r.computed_len += ext
             if batch.is_extend and r.is_chunked:
                 # Mid-prompt chunk: the sampled token is meaningless; publish
                 # the computed KV so concurrent requests can share it.
+                r.computed_len += ext
                 self._publish_unfinished(r)
                 continue
             if len(r.output_ids) >= r.sampling_params.max_new_tokens:
                 # max_new_tokens == 0: finish right after prefill, drop the
                 # sampled token.
+                r.computed_len += ext
                 r.check_finished(self.runner.context_len)
                 if not r.finished:
                     r._finish(FinishReason.LENGTH)
@@ -290,14 +332,30 @@ class Scheduler:
                     self.running_batch.remove(r)
                 updated.append(r)
                 continue
-            tok = int(tokens[i])
-            r.output_ids.append(tok)
-            self.num_generated_tokens += 1
-            if r.first_token_time is None:
-                import time as _t
+            # Accept tokens in order; a burst may finish mid-way, in which
+            # case the remaining device iterations for this row are discarded
+            # (KV written past computed_len is garbage and never referenced).
+            accepted = 0
+            for j in range(K):
+                tok = int(tokens[i, j])
+                r.output_ids.append(tok)
+                accepted += 1
+                if r.sampling_params.return_logprob:
+                    r.output_token_logprobs.append(float(logprobs[i, j]))
+                self.num_generated_tokens += 1
+                if r.first_token_time is None:
+                    import time as _t
 
-                r.first_token_time = _t.monotonic()
-            r.check_finished(self.runner.context_len)
+                    r.first_token_time = _t.monotonic()
+                r.check_finished(self.runner.context_len)
+                if r.finished:
+                    break
+            if batch.is_extend:
+                # KV was computed for the `ext` prompt tokens this step; the
+                # sampled token's KV comes with the next decode step.
+                r.computed_len += ext
+            else:
+                r.computed_len += accepted
             if r.finished:
                 self._finalize_req(r)
                 if r in self.running_batch:

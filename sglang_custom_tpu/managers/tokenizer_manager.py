@@ -193,6 +193,11 @@ class SchedulerThread:
     def _final_chunk(self, state: ReqState) -> Dict[str, Any]:
         req = state.req
         text = state.detok_status.decoded_text if state.detok_status else ""
+        logprob_info = (
+            {"output_token_logprobs": list(req.output_token_logprobs)}
+            if req.sampling_params.return_logprob
+            else {}
+        )
         return {
             "rid": req.rid,
             "text": text[state.text_sent :],
@@ -205,6 +210,7 @@ class SchedulerThread:
                 "prompt_tokens": req.prompt_len,
                 "completion_tokens": len(req.output_ids),
                 "cached_tokens": req.cached_tokens,
+                **logprob_info,
                 "finish_reason": {
                     "type": req.finish_reason.value if req.finish_reason else None
                 },

@@ -5,15 +5,18 @@ TPU-native re-design of the reference's KV pools
 — per-layer K/V torch tensors indexed at token granularity). Here the pool
 is a single fused jax array with layout
 
-    kv[L, 2, num_kv_heads, num_pages, page_size, head_dim]
+    kv[L, num_kv_heads, num_pages, page_size, 2, head_dim]
 
-K/V and head are *leading* dims. This layout is chosen for the Pallas
-ragged-paged-attention kernel: Mosaic tiles only the last two dims
-(page_size, head_dim), so any per-page / per-head DMA slice cuts exclusively
-untiled leading dims — always legal and never forces an in-kernel
-reshape/transpose. The array is *donated* through every jitted step so XLA
-aliases the buffer in place — the functional-update analog of the reference
-mutating torch tensors.
+K and V of one token are adjacent along the minor axis (folded lane view
+``[..., page_size, 2*head_dim]``), and head/page are *leading* dims. This
+layout is chosen for the Pallas ragged-paged-attention kernel: one DMA per
+page moves K and V together, the folded minor dim ``2*head_dim`` is
+128-lane aligned for every head_dim % 64 == 0 (Mosaic rejects DMA slices
+whose minor dim isn't tile-aligned — which rules out a K/V-split layout
+for D=64 model families), and per-page / per-head slices cut exclusively
+untiled leading dims. The array is *donated* through every jitted step so
+XLA aliases the buffer in place — the functional-update analog of the
+reference mutating torch tensors.
 
 Sharding: kv heads are split over the ``tensor`` mesh axis (same axis as
 attention heads in the weights), so KV never moves across chips during
@@ -33,13 +36,13 @@ from sglang_custom_tpu.parallel.mesh import MeshContext, TENSOR_AXIS
 
 
 def kv_cache_shape(cfg: ModelConfig, num_pages: int, page_size: int):
-    return (cfg.num_layers, 2, cfg.num_kv_heads, num_pages, page_size, cfg.head_dim)
+    return (cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, 2, cfg.head_dim)
 
 
 def kv_cache_sharding(mesh_ctx: MeshContext, num_kv_heads: int):
     """Shard the kv-head axis over ``tensor`` when divisible, else replicate."""
     if num_kv_heads % mesh_ctx.tp_size == 0 and mesh_ctx.tp_size > 1:
-        return mesh_ctx.sharding(None, None, TENSOR_AXIS, None, None, None)
+        return mesh_ctx.sharding(None, TENSOR_AXIS, None, None, None, None)
     return mesh_ctx.replicated
 
 
@@ -47,16 +50,16 @@ def kv_cache_sharding(mesh_ctx: MeshContext, num_kv_heads: int):
 class KVCachePool:
     """Owns the device KV array and its geometry."""
 
-    kv: jax.Array  # [L, 2, Hkv, P, page_size, D]
+    kv: jax.Array  # [L, Hkv, P, page_size, 2, D]
     page_size: int
 
     @property
     def num_pages(self) -> int:
-        return self.kv.shape[3]
+        return self.kv.shape[2]
 
     @property
     def num_kv_heads(self) -> int:
-        return self.kv.shape[2]
+        return self.kv.shape[1]
 
     @property
     def head_dim(self) -> int:

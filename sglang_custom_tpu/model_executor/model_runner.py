@@ -29,7 +29,13 @@ import numpy as np
 from sglang_custom_tpu.config.model_config import ModelConfig
 from sglang_custom_tpu.config.server_args import ServerArgs
 from sglang_custom_tpu.layers.attention.xla_backend import XlaAttentionBackend
-from sglang_custom_tpu.layers.sampler import SamplingMeta, compute_token_logprobs, sample
+from sglang_custom_tpu.layers.sampler import (
+    PenaltyMeta,
+    SamplingMeta,
+    apply_penalties,
+    compute_token_logprobs,
+    sample,
+)
 from sglang_custom_tpu.managers.schedule_batch import HostBatch
 from sglang_custom_tpu.mem_cache.memory_pool import KVCachePool
 from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
@@ -170,6 +176,61 @@ class ModelRunner:
         logprobs = compute_token_logprobs(logits, tokens)
         return kv, tokens, logprobs
 
+    @functools.partial(jax.jit, static_argnums=(0, 6), donate_argnums=(2,))
+    def _decode_burst(
+        self, params, kv, meta: ForwardMeta, smeta: SamplingMeta, key, K: int,
+    ):
+        """K decode iterations in one device program: sampled tokens feed the
+        next iteration through the lax.scan carry, so there is no
+        host<->device round-trip between tokens. The page table is
+        pre-allocated by the scheduler to cover seq_len + K for every row."""
+        from jax import lax
+
+        def step_fn(carry, i):
+            kv, tok, pos, seq_lens = carry
+            m = ForwardMeta(
+                token_ids=tok[:, None],
+                positions=pos[:, None],
+                page_table=meta.page_table,
+                seq_lens=seq_lens,
+                extend_lens=jnp.ones_like(seq_lens),
+            )
+            hidden, kv = llama_mod.forward(
+                params, self.cfg, m, kv, self.attn_backend
+            )
+            logits = llama_mod.compute_last_logits(params, hidden, m)
+            tok2 = sample(logits, smeta, jax.random.fold_in(key, i))
+            lp = compute_token_logprobs(logits, tok2)
+            return (kv, tok2, pos + 1, seq_lens + 1), (tok2, lp)
+
+        init = (
+            kv,
+            meta.token_ids[:, 0],
+            meta.positions[:, 0],
+            meta.seq_lens,
+        )
+        (kv, _, _, _), (toks, lps) = lax.scan(
+            step_fn, init, jnp.arange(K)
+        )
+        return kv, toks.T, lps.T  # [B, K]
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _step_penalized(
+        self, params, kv, meta: ForwardMeta, smeta: SamplingMeta,
+        pmeta: PenaltyMeta, key,
+    ):
+        """Step variant with logit penalties; compiled separately so the
+        default path transfers no penalty state (reference: penaltylib is
+        likewise only active when required)."""
+        hidden, kv = llama_mod.forward(
+            params, self.cfg, meta, kv, self.attn_backend
+        )
+        logits = llama_mod.compute_last_logits(params, hidden, meta)
+        logits = apply_penalties(logits, pmeta)
+        tokens = sample(logits, smeta, key)
+        logprobs = compute_token_logprobs(logits, tokens)
+        return kv, tokens, logprobs
+
     def forward(self, batch: HostBatch):
         """Run one step. Returns (token_ids [B] np.int32, logprobs [B] np.f32),
         sliced to the real batch size."""
@@ -209,8 +270,38 @@ class ModelRunner:
         self._step_counter += 1
         key = jax.random.fold_in(self._base_key, self._step_counter)
 
-        kv, tokens, logprobs = self._step(
-            self.params, self.kv_pool.kv, meta, smeta, key
-        )
+        if batch.burst > 1 and not batch.is_extend and batch.penalties is None:
+            kv, tokens, logprobs = self._decode_burst(
+                self.params, self.kv_pool.kv, meta, smeta, key, batch.burst
+            )
+            self.kv_pool.kv = kv
+            return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
+
+        if batch.penalties is None:
+            kv, tokens, logprobs = self._step(
+                self.params, self.kv_pool.kv, meta, smeta, key
+            )
+        else:
+            pen = batch.penalties
+            Omax = pow2_bucket(pen["output_ids"].shape[1], lo=8)
+            Emax = pow2_bucket(pen["eos_ids"].shape[1], lo=8)
+            pmeta = PenaltyMeta(
+                output_ids=jnp.asarray(pad(pen["output_ids"], (Bp, Omax))),
+                output_len=jnp.asarray(pad(pen["output_len"], (Bp,))),
+                frequency_penalty=jnp.asarray(
+                    pad(pen["frequency_penalty"], (Bp,))
+                ),
+                presence_penalty=jnp.asarray(
+                    pad(pen["presence_penalty"], (Bp,))
+                ),
+                repetition_penalty=jnp.asarray(
+                    pad(pen["repetition_penalty"], (Bp,), fill=1.0)
+                ),
+                block_eos=jnp.asarray(pad(pen["block_eos"], (Bp,))),
+                eos_ids=jnp.asarray(pad(pen["eos_ids"], (Bp, Emax), fill=-1)),
+            )
+            kv, tokens, logprobs = self._step_penalized(
+                self.params, self.kv_pool.kv, meta, smeta, pmeta, key
+            )
         self.kv_pool.kv = kv
         return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]

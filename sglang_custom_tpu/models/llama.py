@@ -68,7 +68,7 @@ def forward(
     params: dict,
     cfg: ModelConfig,
     meta: ForwardMeta,
-    kv_cache: jax.Array,  # [L, 2, Hkv, P, ps, D]
+    kv_cache: jax.Array,  # [L, Hkv, P, ps, 2, D]
     attn_backend: Callable,
 ):
     """Returns (hidden [B, T, H], updated kv_cache)."""

@@ -5,11 +5,15 @@ The TPU-native equivalent of the reference's attention kernel zoo
 decode_attention.py — paged KV decode/extend kernels; sgl-kernel csrc).
 Re-designed for the TPU memory system rather than translated:
 
-- KV pages live in HBM with layout ``[2, Hkv, P, page_size, D]`` (K/V and
-  head as *leading* dims, memory_pool.py). Every DMA slices only leading
-  (untiled) dims, so Mosaic's (sublane, lane) tiling constraints never
-  apply to a partial slice — the tiled dims (page_size, D) always move
-  whole. No in-kernel reshape/transpose of K or V is ever needed.
+- KV pages live in HBM with layout ``[Hkv, P, page_size, 2, D]``: K and V
+  of one token are *adjacent in lanes* (folded view
+  ``[Hkv, P, page_size, 2D]``). One DMA per page fetches K and V together,
+  and the folded lane dim ``2D`` is 128-aligned for every head_dim that is
+  a multiple of 64 — Mosaic rejects DMA slices whose minor dim is not a
+  multiple of the 128-lane tile, which rules out a K/V-split layout for
+  the D=64 model families (Llama-3.2-1B/3B etc).
+- Head and page are *leading* (untiled) dims, so every DMA slices only
+  untiled dims and the tiled (page_size, 2D) tile always moves whole.
 - Pages are fetched in *strips* of KB pages per DMA round so the KV block
   a matmul sees is >=128 tokens wide (full MXU/VPU lanes), double-buffered
   to overlap DMA with the online-softmax update (flash-attention style).
@@ -17,6 +21,13 @@ Re-designed for the TPU memory system rather than translated:
   before compute.
 - GQA is a batched matmul over kv-heads: q ``[Hkv, G, D]`` x k
   ``[Hkv, S, D]`` — no head replication is ever materialized.
+- When ``D % 128 == 0`` the kernel slices K/V out of the folded strip
+  (both halves are tile-aligned) and contracts over D — full MXU
+  efficiency. When ``D % 128 != 0`` (e.g. 64) it computes *folded*: q is
+  zero-padded to 2D lanes so the score matmul contracts K lanes only, and
+  the PV matmul produces [.., 2D] whose V half is the answer. Decode is
+  HBM-bandwidth-bound, so the extra MXU work is hidden behind the page
+  DMAs.
 
 See PAPERS.md "Ragged Paged Attention" for the general TPU design space.
 """
@@ -36,22 +47,23 @@ _NEG_INF = -1e30
 _STRIP_TOKENS = 128
 
 
+def _sublanes(kv_dtype) -> int:
+    return 16 if kv_dtype == jnp.bfloat16 else 8
+
+
 def supports_geometry(head_dim: int, page_size: int, kv_dtype) -> bool:
     """Whether these kernels compile on real TPU hardware for this KV
-    geometry. The page DMA copies whole (page_size, head_dim) tiles, so the
-    lane dim (head_dim) must be a multiple of the 128-lane register width
-    and the sublane dim (page_size) a multiple of the dtype's sublane count
-    — Mosaic rejects sub-tile DMA slices otherwise."""
-    sub = 16 if kv_dtype == jnp.bfloat16 else 8
-    return head_dim % 128 == 0 and page_size % sub == 0
+    geometry. The folded lane dim (2*head_dim) must be a multiple of the
+    128-lane tile, and strip offsets (multiples of page_size) must be
+    sublane-aligned."""
+    return (2 * head_dim) % 128 == 0 and page_size % _sublanes(kv_dtype) == 0
 
 
 def _strip_pages(page_size: int, kv_dtype) -> int:
     """Pages per DMA round. Strip offsets inside the scratch buffer must be
     sublane-aligned for the kv dtype; fall back to 1 page per round if the
     page size itself is unaligned."""
-    sub = 16 if kv_dtype == jnp.bfloat16 else 8
-    if page_size % sub != 0:
+    if page_size % _sublanes(kv_dtype) != 0:
         return 1
     return max(1, _STRIP_TOKENS // page_size)
 
@@ -60,8 +72,8 @@ def _strip_dmas(kv_ref, kv_scratch, sems, page_table_ref, *,
                 slot, strip, kb, ps, pmax, row_off):
     """The KB page-DMAs of one strip: HBM pages -> contiguous scratch run.
 
-    kv_ref     : [2, Hkv, P, ps, D] (HBM)
-    kv_scratch : [2slots, 2, Hkv, KB*ps, D] (VMEM)
+    kv_ref     : [Hkv, P, ps, 2D] (HBM)
+    kv_scratch : [2slots, Hkv, KB*ps, 2D] (VMEM)
     sems       : [2slots, KB]
     """
     dmas = []
@@ -71,12 +83,44 @@ def _strip_dmas(kv_ref, kv_scratch, sems, page_table_ref, *,
         page = page_table_ref[row_off + idx]
         dmas.append(
             pltpu.make_async_copy(
-                kv_ref.at[:, :, page],
-                kv_scratch.at[slot, :, :, pl.ds(j * ps, ps)],
+                kv_ref.at[:, page],
+                kv_scratch.at[slot, :, pl.ds(j * ps, ps)],
                 sems.at[slot, j],
             )
         )
     return dmas
+
+
+def _attn_strip(q, strip, *, scale, valid_mask, m, l, acc, fold, D):
+    """One online-softmax update against a KV strip.
+
+    q     : [Hkv, R, D] (split) or [Hkv, R, 2D] zero-padded (folded)
+    strip : [Hkv, S, 2D] — K in lanes [:D], V in lanes [D:]
+    valid_mask : [*, R?, S] bool (broadcastable to scores)
+    acc   : [Hkv, R, D] (split) or [Hkv, R, 2D] (folded)
+    """
+    if fold:
+        kmat = strip          # scores contract all 2D lanes; V lanes see q=0
+    else:
+        kmat = strip[..., :D]
+    s = jax.lax.dot_general(
+        q, kmat,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [Hkv, R, S]
+    s = jnp.where(valid_mask, s, _NEG_INF)
+
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    correction = jnp.exp(m - m_new)
+    l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
+    vmat = strip if fold else strip[..., D:]
+    pv = jax.lax.dot_general(
+        p, vmat,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [Hkv, R, D or 2D]
+    return m_new, l_new, acc * correction + pv
 
 
 def _decode_kernel(
@@ -84,23 +128,26 @@ def _decode_kernel(
     page_table_ref,  # [B * PMAX] int32 (SMEM)
     seq_lens_ref,    # [B] int32 (SMEM)
     # inputs
-    q_ref,           # [1, Hq, D] (VMEM block)
-    kv_ref,          # [2, Hkv, P, ps, D] (HBM / ANY)
+    q_ref,           # [1, Hq, D or 2D] (VMEM block)
+    kv_ref,          # [Hkv, P, ps, 2D] (HBM / ANY)
     # outputs
-    o_ref,           # [1, Hq, D] (VMEM block)
+    o_ref,           # [1, Hq, D or 2D] (VMEM block)
     # scratch
-    kv_scratch,      # [2, 2, Hkv, KB*ps, D] (VMEM)
+    kv_scratch,      # [2, Hkv, KB*ps, 2D] (VMEM)
     sems,            # [2, KB] DMA semaphores
     *,
     scale: float,
     pmax: int,
     kb: int,
     num_kv_heads: int,
+    head_dim: int,
+    fold: bool,
 ):
     b = pl.program_id(0)
-    ps = kv_scratch.shape[3] // kb
-    S = kv_scratch.shape[3]
-    D = q_ref.shape[2]
+    ps = kv_scratch.shape[2] // kb
+    S = kv_scratch.shape[2]
+    D = head_dim
+    Dq = q_ref.shape[2]      # D (split) or 2D (folded)
     Hq = q_ref.shape[1]
     G = Hq // num_kv_heads
 
@@ -116,7 +163,7 @@ def _decode_kernel(
     for d in strip_dmas(0, 0):
         d.start()
 
-    q = q_ref[0].reshape(num_kv_heads, G, D).astype(jnp.float32)
+    q = q_ref[0].reshape(num_kv_heads, G, Dq).astype(jnp.float32)
 
     def body(i, carry):
         m, l, acc = carry
@@ -129,38 +176,21 @@ def _decode_kernel(
 
         for d in strip_dmas(slot, i):
             d.wait()
-        k = kv_scratch[slot, 0].astype(jnp.float32)  # [Hkv, S, D]
-        v = kv_scratch[slot, 1].astype(jnp.float32)
-
-        # scores [Hkv, G, S]
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
+        strip = kv_scratch[slot].astype(jnp.float32)  # [Hkv, S, 2D]
         kv_pos = i * S + jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
-        s = jnp.where(kv_pos < seq_len, s, _NEG_INF)
-
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        correction = jnp.exp(m - m_new)
-        l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
-        # pv [Hkv, G, D]
-        pv = jax.lax.dot_general(
-            p, v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        return _attn_strip(
+            q, strip, scale=scale, valid_mask=kv_pos < seq_len,
+            m=m, l=l, acc=acc, fold=fold, D=D,
         )
-        acc_new = acc * correction + pv
-        return m_new, l_new, acc_new
 
+    Dacc = 2 * D if fold else D
     m0 = jnp.full((num_kv_heads, G, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((num_kv_heads, G, 1), jnp.float32)
-    acc0 = jnp.zeros((num_kv_heads, G, D), jnp.float32)
+    acc0 = jnp.zeros((num_kv_heads, G, Dacc), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, n_strips, body, (m0, l0, acc0))
 
     out = acc / jnp.maximum(l, 1e-30)
-    o_ref[0] = out.reshape(Hq, D).astype(o_ref.dtype)
+    o_ref[0] = out.reshape(Hq, Dacc).astype(o_ref.dtype)
 
 
 def _extend_kernel(
@@ -169,18 +199,20 @@ def _extend_kernel(
     seq_lens_ref,     # [B] int32
     extend_lens_ref,  # [B] int32
     # inputs
-    q_ref,            # [1, Hkv, TB, G, D] block (VMEM), head-major layout
-    kv_ref,           # [2, Hkv, P, ps, D] (HBM)
+    q_ref,            # [1, Hkv, TB, G, D or 2D] block (VMEM), head-major
+    kv_ref,           # [Hkv, P, ps, 2D] (HBM)
     # outputs
-    o_ref,            # [1, Hkv, TB, G, D] block (VMEM)
+    o_ref,            # [1, Hkv, TB, G, D or 2D] block (VMEM)
     # scratch
-    kv_scratch,       # [2, 2, Hkv, KB*ps, D]
+    kv_scratch,       # [2, Hkv, KB*ps, 2D]
     sems,             # [2, KB]
     *,
     scale: float,
     pmax: int,
     kb: int,
     num_kv_heads: int,
+    head_dim: int,
+    fold: bool,
 ):
     # Grid = (B, num_blocks). q/out are pre-arranged [B, Hkv, T, G, D] so a
     # grid cell owns whole (sublane, lane) tiles — Mosaic disallows
@@ -188,11 +220,12 @@ def _extend_kernel(
     # BlockSpec layout, not in the kernel.
     b = pl.program_id(0)
     tb = pl.program_id(1)
-    ps = kv_scratch.shape[3] // kb
-    S = kv_scratch.shape[3]
+    ps = kv_scratch.shape[2] // kb
+    S = kv_scratch.shape[2]
     TB = q_ref.shape[2]
     G = q_ref.shape[3]
-    D = q_ref.shape[4]
+    Dq = q_ref.shape[4]
+    D = head_dim
     Hkv = num_kv_heads
 
     seq_len = seq_lens_ref[b]
@@ -205,7 +238,7 @@ def _extend_kernel(
 
     @pl.when(jnp.logical_not(active))
     def _():
-        o_ref[0] = jnp.zeros((Hkv, TB, G, D), dtype=o_ref.dtype)
+        o_ref[0] = jnp.zeros((Hkv, TB, G, Dq), dtype=o_ref.dtype)
 
     @pl.when(active)
     def _():
@@ -222,7 +255,7 @@ def _extend_kernel(
         for d in strip_dmas(0, 0):
             d.start()
 
-        q = q_ref[0].reshape(Hkv, TB * G, D).astype(jnp.float32)
+        q = q_ref[0].reshape(Hkv, TB * G, Dq).astype(jnp.float32)
         # Absolute position of each q row (row r belongs to token r // G).
         row_tok = jax.lax.broadcasted_iota(jnp.int32, (1, TB * G, 1), 1) // G
         q_pos = start + blk_start + row_tok  # [1, TB*G, 1]
@@ -238,38 +271,30 @@ def _extend_kernel(
 
             for d in strip_dmas(slot, i):
                 d.wait()
-            k = kv_scratch[slot, 0].astype(jnp.float32)  # [Hkv, S, D]
-            v = kv_scratch[slot, 1].astype(jnp.float32)
-
-            # scores [Hkv, TB*G, S]
-            s = jax.lax.dot_general(
-                q, k,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ) * scale
+            strip = kv_scratch[slot].astype(jnp.float32)  # [Hkv, S, 2D]
             kv_pos = i * S + jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
             mask = (kv_pos <= q_pos) & (kv_pos < seq_len)
-            s = jnp.where(mask, s, _NEG_INF)
-
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            correction = jnp.exp(m - m_new)
-            l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
-            # pv [Hkv, TB*G, D]
-            pv = jax.lax.dot_general(
-                p, v,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+            return _attn_strip(
+                q, strip, scale=scale, valid_mask=mask,
+                m=m, l=l, acc=acc, fold=fold, D=D,
             )
-            return m_new, l_new, acc * correction + pv
 
+        Dacc = 2 * D if fold else D
         m0 = jnp.full((Hkv, TB * G, 1), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((Hkv, TB * G, 1), jnp.float32)
-        acc0 = jnp.zeros((Hkv, TB * G, D), jnp.float32)
+        acc0 = jnp.zeros((Hkv, TB * G, Dacc), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, n_strips, body, (m0, l0, acc0))
 
         out = acc / jnp.maximum(l, 1e-30)
-        o_ref[0] = out.reshape(Hkv, TB, G, D).astype(o_ref.dtype)
+        o_ref[0] = out.reshape(Hkv, TB, G, Dacc).astype(o_ref.dtype)
+
+
+def _fold_q(q: jax.Array, fold: bool) -> jax.Array:
+    """Zero-pad the lane dim D -> 2D so the folded score matmul contracts
+    only K lanes (V lanes multiply against zeros)."""
+    if not fold:
+        return q
+    return jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
 
 
 @functools.partial(
@@ -277,7 +302,7 @@ def _extend_kernel(
 )
 def paged_attention_extend(
     q: jax.Array,            # [B, T, Hq, D]
-    kv_pages: jax.Array,     # [2, Hkv, P, ps, D]
+    kv_pages: jax.Array,     # [Hkv, P, ps, 2, D]
     page_table: jax.Array,   # [B, PMAX] int32
     seq_lens: jax.Array,     # [B] int32 (total context incl. new tokens)
     extend_lens: jax.Array,  # [B] int32 (new tokens this step)
@@ -293,8 +318,11 @@ def paged_attention_extend(
     merge path (triton_ops/extend_attention.py, merge_state).
     """
     B, T, Hq, D = q.shape
-    _, num_kv_heads, P, ps, _ = kv_pages.shape
+    num_kv_heads, P, ps = kv_pages.shape[:3]
     G = Hq // num_kv_heads
+    fold = D % 128 != 0
+    Dq = 2 * D if fold else D
+    kvf = kv_pages.reshape(num_kv_heads, P, ps, 2 * D)  # folded view (free)
     pmax = page_table.shape[1]
     kb = min(_strip_pages(ps, kv_pages.dtype), pmax)
     TB = min(q_block, T)
@@ -302,28 +330,29 @@ def paged_attention_extend(
     Tp = num_blocks * TB
     if Tp != T:
         q = jnp.pad(q, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
-    # Head-major layout: [B, Hkv, Tp, G, D] so each (b, tb) grid cell owns
+    q = _fold_q(q, fold)
+    # Head-major layout: [B, Hkv, Tp, G, Dq] so each (b, tb) grid cell owns
     # whole tiles (see kernel comment).
-    qh = q.reshape(B, Tp, num_kv_heads, G, D).transpose(0, 2, 1, 3, 4)
+    qh = q.reshape(B, Tp, num_kv_heads, G, Dq).transpose(0, 2, 1, 3, 4)
 
     kernel = functools.partial(
         _extend_kernel, scale=scale, pmax=pmax, kb=kb,
-        num_kv_heads=num_kv_heads,
+        num_kv_heads=num_kv_heads, head_dim=D, fold=fold,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, num_blocks),
         in_specs=[
             pl.BlockSpec(
-                (1, num_kv_heads, TB, G, D), lambda b, tb, *_: (b, 0, tb, 0, 0)
+                (1, num_kv_heads, TB, G, Dq), lambda b, tb, *_: (b, 0, tb, 0, 0)
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, num_kv_heads, TB, G, D), lambda b, tb, *_: (b, 0, tb, 0, 0)
+            (1, num_kv_heads, TB, G, Dq), lambda b, tb, *_: (b, 0, tb, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, num_kv_heads, kb * ps, D), kv_pages.dtype),
+            pltpu.VMEM((2, num_kv_heads, kb * ps, 2 * D), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((2, kb)),
         ],
     )
@@ -332,14 +361,16 @@ def paged_attention_extend(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
         interpret=interpret,
-    )(page_table.reshape(-1), seq_lens, extend_lens, qh, kv_pages)
+    )(page_table.reshape(-1), seq_lens, extend_lens, qh, kvf)
+    if fold:
+        out = out[..., D:]  # V half of the folded accumulator
     return out.transpose(0, 2, 1, 3, 4).reshape(B, Tp, Hq, D)[:, :T]
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def paged_attention_decode(
     q: jax.Array,          # [B, Hq, D]
-    kv_pages: jax.Array,   # [2, Hkv, P, ps, D]
+    kv_pages: jax.Array,   # [Hkv, P, ps, 2, D]
     page_table: jax.Array, # [B, PMAX] int32
     seq_lens: jax.Array,   # [B] int32
     *,
@@ -348,30 +379,37 @@ def paged_attention_decode(
 ) -> jax.Array:
     """Single-token-per-sequence paged attention. Returns [B, Hq, D]."""
     B, Hq, D = q.shape
-    _, num_kv_heads, P, ps, _ = kv_pages.shape
+    num_kv_heads, P, ps = kv_pages.shape[:3]
+    fold = D % 128 != 0
+    Dq = 2 * D if fold else D
+    kvf = kv_pages.reshape(num_kv_heads, P, ps, 2 * D)
     pmax = page_table.shape[1]
     kb = min(_strip_pages(ps, kv_pages.dtype), pmax)
+    q = _fold_q(q, fold)
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, pmax=pmax, kb=kb,
-        num_kv_heads=num_kv_heads,
+        num_kv_heads=num_kv_heads, head_dim=D, fold=fold,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, Hq, D), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, Hq, Dq), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, Hq, D), lambda b, *_: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hq, Dq), lambda b, *_: (b, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, num_kv_heads, kb * ps, D), kv_pages.dtype),
+            pltpu.VMEM((2, num_kv_heads, kb * ps, 2 * D), kv_pages.dtype),
             pltpu.SemaphoreType.DMA((2, kb)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Dq), q.dtype),
         interpret=interpret,
-    )(page_table.reshape(-1), seq_lens, q, kv_pages)
+    )(page_table.reshape(-1), seq_lens, q, kvf)
+    if fold:
+        out = out[..., D:]
+    return out

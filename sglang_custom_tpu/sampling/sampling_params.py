@@ -12,15 +12,18 @@ from typing import List, Optional, Union
 @dataclasses.dataclass
 class SamplingParams:
     max_new_tokens: int = 128
+    min_new_tokens: int = 0
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = -1          # -1 = disabled (full vocab)
     min_p: float = 0.0
     frequency_penalty: float = 0.0
     presence_penalty: float = 0.0
+    repetition_penalty: float = 1.0
     stop: Optional[Union[str, List[str]]] = None
     stop_token_ids: Optional[List[int]] = None
     ignore_eos: bool = False
+    return_logprob: bool = False
     n: int = 1
 
     def __post_init__(self):
@@ -32,8 +35,23 @@ class SamplingParams:
             # Greedy: normalize so the kernel can branch on temperature == 0.
             self.temperature = 0.0
 
+    @property
+    def needs_penalties(self) -> bool:
+        """Whether this request requires the penalized sampling step
+        (reference: penaltylib orchestrator `is_required`)."""
+        return (
+            self.frequency_penalty != 0.0
+            or self.presence_penalty != 0.0
+            or self.repetition_penalty != 1.0
+            or self.min_new_tokens > 0
+        )
+
     def verify(self) -> None:
         assert self.max_new_tokens >= 0
+        assert 0 <= self.min_new_tokens
         assert 0.0 <= self.top_p <= 1.0
         assert self.top_k == -1 or self.top_k >= 1
         assert 0.0 <= self.min_p <= 1.0
+        assert -2.0 <= self.frequency_penalty <= 2.0
+        assert -2.0 <= self.presence_penalty <= 2.0
+        assert 0.0 < self.repetition_penalty <= 2.0

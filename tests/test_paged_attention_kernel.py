@@ -19,7 +19,7 @@ from sglang_custom_tpu.ops.ragged_paged_attention import (
 def make_case(B, Hq, Hkv, D, ps, pmax, seed=0):
     rng = np.random.RandomState(seed)
     P = B * pmax + 1
-    kv = rng.randn(2, Hkv, P, ps, D).astype(np.float32)
+    kv = rng.randn(Hkv, P, ps, 2, D).astype(np.float32)
     # each seq gets its own pages (1-based, page 0 = garbage)
     page_table = np.zeros((B, pmax), np.int32)
     for b in range(B):
@@ -32,12 +32,12 @@ def make_case(B, Hq, Hkv, D, ps, pmax, seed=0):
 def xla_reference(q, kv, page_table, seq_lens, scale):
     """Dense-gather reference: mask + softmax over the padded context."""
     B, Hq, D = q.shape
-    _, Hkv, P, ps, _ = kv.shape
+    Hkv, P, ps = kv.shape[:3]
     G = Hq // Hkv
     S = page_table.shape[1] * ps
-    gathered = kv[:, :, page_table]  # [2, Hkv, B, PMAX, ps, D]
-    k = gathered[0].reshape(Hkv, B, S, D)
-    v = gathered[1].reshape(Hkv, B, S, D)
+    gathered = kv[:, page_table]  # [Hkv, B, PMAX, ps, 2, D]
+    k = gathered[..., 0, :].reshape(Hkv, B, S, D)
+    v = gathered[..., 1, :].reshape(Hkv, B, S, D)
     qg = q.reshape(B, Hkv, G, D)
     s = jnp.einsum("bkgd,kbsd->bkgs", qg, k) * scale
     kv_pos = jnp.arange(S)[None, None, None, :]
@@ -70,12 +70,12 @@ def test_decode_kernel_matches_reference(B, Hq, Hkv, D, ps, pmax):
 def xla_extend_reference(q, kv, page_table, seq_lens, extend_lens, scale):
     """Dense reference with causal-within-extend masking."""
     B, T, Hq, D = q.shape
-    _, Hkv, P, ps, _ = kv.shape
+    Hkv, P, ps = kv.shape[:3]
     G = Hq // Hkv
     S = page_table.shape[1] * ps
-    gathered = kv[:, :, page_table]
-    k = gathered[0].reshape(Hkv, B, S, D)
-    v = gathered[1].reshape(Hkv, B, S, D)
+    gathered = kv[:, page_table]
+    k = gathered[..., 0, :].reshape(Hkv, B, S, D)
+    v = gathered[..., 1, :].reshape(Hkv, B, S, D)
     qg = q.reshape(B, T, Hkv, G, D)
     s = jnp.einsum("btkgd,kbsd->bktgs", qg, k) * scale
     kv_pos = jnp.arange(S)[None, None, None, None, :]
@@ -100,7 +100,7 @@ def xla_extend_reference(q, kv, page_table, seq_lens, extend_lens, scale):
 def test_extend_kernel_matches_reference(B, Hq, Hkv, D, ps, pmax, T, q_block):
     rng = np.random.RandomState(1)
     P = B * pmax + 1
-    kv = jnp.asarray(rng.randn(2, Hkv, P, ps, D).astype(np.float32))
+    kv = jnp.asarray(rng.randn(Hkv, P, ps, 2, D).astype(np.float32))
     page_table = np.zeros((B, pmax), np.int32)
     for b in range(B):
         page_table[b] = np.arange(1 + b * pmax, 1 + (b + 1) * pmax)
