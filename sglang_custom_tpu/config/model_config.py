@@ -35,6 +35,10 @@ class ModelConfig:
     moe_intermediate_size: int = 0
     # qwen2-style attention bias
     attention_bias: bool = False
+    # qwen3-style per-head RMS norm on q/k before RoPE
+    qk_norm: bool = False
+    # mixtral/qwen-moe router normalizes top-k weights to sum to 1
+    norm_topk_prob: bool = True
 
     @property
     def q_per_kv(self) -> int:
@@ -65,6 +69,8 @@ class ModelConfig:
             moe_intermediate_size=cfg.get("moe_intermediate_size", 0) or 0,
             attention_bias=cfg.get("attention_bias", False)
             or arch.startswith("Qwen2"),
+            qk_norm=arch.startswith("Qwen3"),
+            norm_topk_prob=cfg.get("norm_topk_prob", True),
         )
 
     @staticmethod

@@ -39,7 +39,7 @@ from sglang_custom_tpu.layers.sampler import (
 from sglang_custom_tpu.managers.schedule_batch import HostBatch
 from sglang_custom_tpu.mem_cache.memory_pool import KVCachePool
 from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
-from sglang_custom_tpu.models import llama as llama_mod
+from sglang_custom_tpu.models.registry import get_model
 from sglang_custom_tpu.parallel.mesh import MeshContext
 from sglang_custom_tpu.utils import get_logger
 
@@ -82,6 +82,7 @@ class ModelRunner:
         self.dtype = _DTYPES[server_args.dtype]
         self.kv_dtype = _DTYPES.get(server_args.kv_cache_dtype, jnp.bfloat16)
         self.page_size = server_args.page_size
+        self.model = get_model(cfg.architecture)
         self.attn_backend = self._create_attn_backend()
 
         self.context_len = server_args.context_length or cfg.max_position_embeddings
@@ -168,10 +169,10 @@ class ModelRunner:
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _step(self, params, kv, meta: ForwardMeta, smeta: SamplingMeta, key):
-        hidden, kv = llama_mod.forward(
+        hidden, kv = self.model.forward(
             params, self.cfg, meta, kv, self.attn_backend
         )
-        logits = llama_mod.compute_last_logits(params, hidden, meta)
+        logits = self.model.compute_last_logits(params, hidden, meta)
         tokens = sample(logits, smeta, key)
         logprobs = compute_token_logprobs(logits, tokens)
         return kv, tokens, logprobs
@@ -195,10 +196,10 @@ class ModelRunner:
                 seq_lens=seq_lens,
                 extend_lens=jnp.ones_like(seq_lens),
             )
-            hidden, kv = llama_mod.forward(
+            hidden, kv = self.model.forward(
                 params, self.cfg, m, kv, self.attn_backend
             )
-            logits = llama_mod.compute_last_logits(params, hidden, m)
+            logits = self.model.compute_last_logits(params, hidden, m)
             tok2 = sample(logits, smeta, jax.random.fold_in(key, i))
             lp = compute_token_logprobs(logits, tok2)
             return (kv, tok2, pos + 1, seq_lens + 1), (tok2, lp)
@@ -222,10 +223,10 @@ class ModelRunner:
         """Step variant with logit penalties; compiled separately so the
         default path transfers no penalty state (reference: penaltylib is
         likewise only active when required)."""
-        hidden, kv = llama_mod.forward(
+        hidden, kv = self.model.forward(
             params, self.cfg, meta, kv, self.attn_backend
         )
-        logits = llama_mod.compute_last_logits(params, hidden, meta)
+        logits = self.model.compute_last_logits(params, hidden, meta)
         logits = apply_penalties(logits, pmeta)
         tokens = sample(logits, smeta, key)
         logprobs = compute_token_logprobs(logits, tokens)

@@ -19,35 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from sglang_custom_tpu.config.model_config import ModelConfig
-from sglang_custom_tpu.models import llama as llama_mod
+from sglang_custom_tpu.models.registry import get_model
 from sglang_custom_tpu.parallel.mesh import MeshContext
-from sglang_custom_tpu.parallel.sharding import param_shardings
 from sglang_custom_tpu.utils import get_logger
 
 logger = get_logger(__name__)
-
-
-def _hf_key_map(cfg: ModelConfig, layer: int) -> Dict[str, tuple]:
-    """HF tensor name -> (pytree path, transpose?) for one decoder layer."""
-    p = f"model.layers.{layer}."
-    m = {
-        p + "input_layernorm.weight": (("layers", "input_norm"), False),
-        p + "self_attn.q_proj.weight": (("layers", "q_proj"), True),
-        p + "self_attn.k_proj.weight": (("layers", "k_proj"), True),
-        p + "self_attn.v_proj.weight": (("layers", "v_proj"), True),
-        p + "self_attn.o_proj.weight": (("layers", "o_proj"), True),
-        p + "post_attention_layernorm.weight": (("layers", "post_norm"), False),
-        p + "mlp.gate_proj.weight": (("layers", "gate_proj"), True),
-        p + "mlp.up_proj.weight": (("layers", "up_proj"), True),
-        p + "mlp.down_proj.weight": (("layers", "down_proj"), True),
-    }
-    if cfg.attention_bias:
-        m.update({
-            p + "self_attn.q_proj.bias": (("layers", "q_bias"), False),
-            p + "self_attn.k_proj.bias": (("layers", "k_bias"), False),
-            p + "self_attn.v_proj.bias": (("layers", "v_bias"), False),
-        })
-    return m
 
 
 def load_weights(
@@ -63,20 +39,15 @@ def load_weights(
     if not files:
         raise FileNotFoundError(f"no safetensors under {model_path}")
 
-    shardings = param_shardings(cfg, mesh_ctx)
-    shapes = llama_mod.param_shapes(cfg)
+    model = get_model(cfg.architecture)
+    shardings = model.param_shardings(cfg, mesh_ctx)
+    shapes = model.param_shapes(cfg)
 
     # Host staging buffers (fp32 numpy keeps safetensors-numpy happy; cast on
     # device_put).
     staging = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
 
-    key_map = {}
-    for l in range(cfg.num_layers):
-        for k, (path, transpose) in _hf_key_map(cfg, l).items():
-            key_map[k] = (path, l, transpose)
-    key_map["model.embed_tokens.weight"] = (("embed",), None, False)
-    key_map["model.norm.weight"] = (("final_norm",), None, False)
-    key_map["lm_head.weight"] = (("lm_head",), None, True)
+    key_map = model.hf_key_map(cfg)
 
     seen = set()
     for f in files:
@@ -89,17 +60,18 @@ def load_weights(
                     if "rotary_emb" not in name:
                         logger.debug("skipping unmapped weight %s", name)
                     continue
-                path, l, transpose = key_map[name]
+                path, idx, transpose = key_map[name]
                 w = st.get_tensor(name).float().numpy()
                 if transpose:
                     w = np.ascontiguousarray(w.T)
                 dst = staging
                 for kpart in path[:-1]:
                     dst = dst[kpart]
-                if l is None:
+                if idx is None:
                     dst[path[-1]][...] = w
                 else:
-                    dst[path[-1]][l] = w
+                    # idx is a layer index, or (layer, expert) for MoE
+                    dst[path[-1]][idx] = w
                 seen.add(name)
 
     if "lm_head.weight" not in seen:
@@ -125,8 +97,9 @@ def load_dummy_weights(
 ) -> dict:
     """Random-init weights for perf-only runs (reference: DummyModelLoader,
     model_loader/loader.py:531 / --load-format dummy)."""
-    shapes = llama_mod.param_shapes(cfg)
-    shardings = param_shardings(cfg, mesh_ctx)
+    model = get_model(cfg.architecture)
+    shapes = model.param_shapes(cfg)
+    shardings = model.param_shardings(cfg, mesh_ctx)
     path_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
     keys = list(jax.random.split(jax.random.PRNGKey(seed), len(path_leaves)))
 

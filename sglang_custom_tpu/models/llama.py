@@ -56,12 +56,56 @@ def param_shapes(cfg: ModelConfig) -> dict:
         layers["q_bias"] = s(L, Hq * D)
         layers["k_bias"] = s(L, Hkv * D)
         layers["v_bias"] = s(L, Hkv * D)
+    if cfg.qk_norm:
+        layers["q_norm"] = s(L, D)
+        layers["k_norm"] = s(L, D)
     return {
         "embed": s(V, H),
         "layers": layers,
         "final_norm": s(H),
         "lm_head": s(H, V),
     }
+
+
+def hf_key_map(cfg: ModelConfig) -> dict:
+    """HF tensor name -> (pytree path, layer index or None, transpose).
+    Covers Llama 1/2/3, Mistral, Qwen2 (bias), Qwen3 (qk norm)."""
+    m = {
+        "model.embed_tokens.weight": (("embed",), None, False),
+        "model.norm.weight": (("final_norm",), None, False),
+        "lm_head.weight": (("lm_head",), None, True),
+    }
+    for l in range(cfg.num_layers):
+        p = f"model.layers.{l}."
+        m.update({
+            p + "input_layernorm.weight": (("layers", "input_norm"), l, False),
+            p + "self_attn.q_proj.weight": (("layers", "q_proj"), l, True),
+            p + "self_attn.k_proj.weight": (("layers", "k_proj"), l, True),
+            p + "self_attn.v_proj.weight": (("layers", "v_proj"), l, True),
+            p + "self_attn.o_proj.weight": (("layers", "o_proj"), l, True),
+            p + "post_attention_layernorm.weight": (("layers", "post_norm"), l, False),
+            p + "mlp.gate_proj.weight": (("layers", "gate_proj"), l, True),
+            p + "mlp.up_proj.weight": (("layers", "up_proj"), l, True),
+            p + "mlp.down_proj.weight": (("layers", "down_proj"), l, True),
+        })
+        if cfg.attention_bias:
+            m.update({
+                p + "self_attn.q_proj.bias": (("layers", "q_bias"), l, False),
+                p + "self_attn.k_proj.bias": (("layers", "k_bias"), l, False),
+                p + "self_attn.v_proj.bias": (("layers", "v_bias"), l, False),
+            })
+        if cfg.qk_norm:
+            m.update({
+                p + "self_attn.q_norm.weight": (("layers", "q_norm"), l, False),
+                p + "self_attn.k_norm.weight": (("layers", "k_norm"), l, False),
+            })
+    return m
+
+
+def param_shardings(cfg: ModelConfig, mesh_ctx) -> dict:
+    from sglang_custom_tpu.parallel.sharding import param_shardings as _ps
+
+    return _ps(cfg, mesh_ctx)
 
 
 def forward(
@@ -95,6 +139,10 @@ def forward(
         q = q.reshape(B, T, Hq, D)
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, D)
+        if "q_norm" in lp:
+            # qwen3: per-head RMS norm before RoPE
+            q = rms_norm(q, lp["q_norm"], eps)
+            k = rms_norm(k, lp["k_norm"], eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 

@@ -1,0 +1,43 @@
+"""Architecture -> model-module registry.
+
+Analog of the reference's model registry (reference: srt/models/registry.py
+— maps HF `architectures[0]` to a model class). Here a "model" is a module
+of pure functions:
+
+    param_shapes(cfg)            -> pytree of ShapeDtypeStruct
+    param_shardings(cfg, mesh)   -> pytree of NamedSharding
+    forward(params, cfg, meta, kv, backend) -> (hidden, kv)
+    compute_last_logits(params, hidden, meta) -> [B, V] f32
+    hf_key_map(cfg) -> {hf_name: (path, layer_index|(l,e)|None, transpose)}
+"""
+
+from __future__ import annotations
+
+import types
+from typing import Dict
+
+from sglang_custom_tpu.models import llama, mixtral
+
+
+def _llama_like() -> types.ModuleType:
+    return llama
+
+
+MODEL_REGISTRY: Dict[str, types.ModuleType] = {
+    "LlamaForCausalLM": llama,
+    "MistralForCausalLM": llama,
+    "Qwen2ForCausalLM": llama,
+    "Qwen3ForCausalLM": llama,
+    "MixtralForCausalLM": mixtral,
+    "Qwen3MoeForCausalLM": mixtral,
+}
+
+
+def get_model(architecture: str) -> types.ModuleType:
+    try:
+        return MODEL_REGISTRY[architecture]
+    except KeyError:
+        raise ValueError(
+            f"unsupported architecture {architecture!r}; "
+            f"known: {sorted(MODEL_REGISTRY)}"
+        ) from None

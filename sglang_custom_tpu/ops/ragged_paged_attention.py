@@ -289,6 +289,29 @@ def _extend_kernel(
         o_ref[0] = out.reshape(Hkv, TB, G, Dacc).astype(o_ref.dtype)
 
 
+def _pick_q_block(
+    q_block: int, T: int, Hq: int, Hkv: int, S: int, D: int, fold: bool,
+) -> int:
+    """Largest power-of-two q block whose VMEM working set fits the ~16MB
+    scoped limit (with margin). Dominant terms: fp32 score/prob tensors
+    [Hq*TB, S], the fp32 accumulator [Hq*TB, Dacc], fp32 q copy, and the
+    double-buffered KV scratch (+fp32 cast)."""
+    Dq = 2 * D if fold else D
+    Dacc = Dq
+    scratch = 6 * Hkv * S * 2 * D  # bf16 buffers + fp32 cast
+    tb = q_block
+    while tb > 8:
+        est = (
+            4 * Hq * tb * (2 * S + Dq + Dacc + 4)
+            + 2 * Hq * tb * 2 * Dq
+            + scratch
+        )
+        if est <= 10 * 2**20:
+            break
+        tb //= 2
+    return max(tb, 8)
+
+
 def _fold_q(q: jax.Array, fold: bool) -> jax.Array:
     """Zero-pad the lane dim D -> 2D so the folded score matmul contracts
     only K lanes (V lanes multiply against zeros)."""
@@ -325,7 +348,8 @@ def paged_attention_extend(
     kvf = kv_pages.reshape(num_kv_heads, P, ps, 2 * D)  # folded view (free)
     pmax = page_table.shape[1]
     kb = min(_strip_pages(ps, kv_pages.dtype), pmax)
-    TB = min(q_block, T)
+    S_strip = kb * ps
+    TB = min(_pick_q_block(q_block, T, Hq, num_kv_heads, S_strip, D, fold), T)
     num_blocks = pl.cdiv(T, TB)
     Tp = num_blocks * TB
     if Tp != T:

@@ -45,6 +45,9 @@ def param_shardings(cfg: ModelConfig, mesh_ctx: MeshContext) -> dict:
         layers["q_bias"] = sh(None, t) if div(cfg.num_q_heads * cfg.head_dim) else sh()
         layers["k_bias"] = sh(None, t) if div(cfg.num_kv_heads * cfg.head_dim) else sh()
         layers["v_bias"] = sh(None, t) if div(cfg.num_kv_heads * cfg.head_dim) else sh()
+    if cfg.qk_norm:
+        layers["q_norm"] = sh()
+        layers["k_norm"] = sh()
     return {
         "embed": sh(t, None) if div(cfg.vocab_size) else sh(),
         "layers": layers,

@@ -1,0 +1,120 @@
+"""Golden-model tests for the model zoo: each architecture's greedy output
+must match HuggingFace transformers exactly (fp32 CPU vs fp32 CPU).
+
+Reference analog: test/srt/models/test_generation_models.py with
+HFRunner/SRTRunner (python/sglang/test/runners.py:129,482).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from sglang_custom_tpu.config.server_args import ServerArgs
+from sglang_custom_tpu.entrypoints.engine import Engine
+
+PROMPTS = [[1, 7, 23, 45], [2, 9, 9, 9, 100, 101]]
+
+
+def _golden_check(hf_model, path, max_new=10, num_pages=256):
+    eng = Engine(
+        server_args=ServerArgs(
+            model_path=path, dtype="float32", device="cpu", page_size=16,
+            skip_tokenizer_init=True,
+        ),
+        num_pages=num_pages,
+    )
+    try:
+        ours = eng.generate(
+            input_ids=PROMPTS,
+            sampling_params={"max_new_tokens": max_new, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        for prompt, out in zip(PROMPTS, ours):
+            with torch.no_grad():
+                hf = hf_model.generate(
+                    torch.tensor([prompt]), max_new_tokens=max_new,
+                    do_sample=False,
+                )
+            expect = hf[0, len(prompt):].tolist()
+            assert out["output_ids"] == expect, (
+                f"{type(hf_model).__name__}: {out['output_ids']} != {expect}"
+            )
+    finally:
+        eng.shutdown()
+
+
+def _save(model, tmp_path_factory, name):
+    path = tmp_path_factory.mktemp(name)
+    model.to(torch.float32).save_pretrained(path, safe_serialization=True)
+    return str(path)
+
+
+def test_qwen2_golden(tmp_path_factory):
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    cfg = Qwen2Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    m = Qwen2ForCausalLM(cfg)
+    _golden_check(m, _save(m, tmp_path_factory, "tiny_qwen2"))
+
+
+def test_qwen3_golden(tmp_path_factory):
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    cfg = Qwen3Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    m = Qwen3ForCausalLM(cfg)
+    _golden_check(m, _save(m, tmp_path_factory, "tiny_qwen3"))
+
+
+def test_mistral_golden(tmp_path_factory):
+    from transformers import MistralConfig, MistralForCausalLM
+
+    cfg = MistralConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False,
+        sliding_window=None,
+    )
+    torch.manual_seed(3)
+    m = MistralForCausalLM(cfg)
+    _golden_check(m, _save(m, tmp_path_factory, "tiny_mistral"))
+
+
+def test_mixtral_golden(tmp_path_factory):
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    cfg = MixtralConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=512, tie_word_embeddings=False,
+        sliding_window=None,
+    )
+    torch.manual_seed(4)
+    m = MixtralForCausalLM(cfg)
+    _golden_check(m, _save(m, tmp_path_factory, "tiny_mixtral"))
+
+
+def test_qwen3_moe_golden(tmp_path_factory):
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    cfg = Qwen3MoeConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        max_position_embeddings=512, tie_word_embeddings=False,
+        decoder_sparse_step=1, mlp_only_layers=[],
+    )
+    torch.manual_seed(5)
+    m = Qwen3MoeForCausalLM(cfg)
+    _golden_check(m, _save(m, tmp_path_factory, "tiny_qwen3moe"))
