@@ -57,7 +57,10 @@ def main():
 
     mesh_ctx = create_mesh(tp_size=1, dp_size=1)
     params = load_dummy_weights(cfg, mesh_ctx)
-    runner = ModelRunner(args, cfg, params, mesh_ctx, num_pages=4096)
+    # 2048 pages x 32 tok = 64K KV tokens (enough for 64 x 256-token reqs).
+    # Kept small because XLA's conservative aliasing through the nested
+    # decode-burst scan can hold >1 pool copy at compile time.
+    runner = ModelRunner(args, cfg, params, mesh_ctx, num_pages=2048)
 
     BATCH = 64
     PROMPT = 128

@@ -75,7 +75,6 @@ class Engine:
             server_args, self.model_config, params, self.mesh_ctx,
             num_pages=num_pages,
         )
-        self.scheduler = Scheduler(server_args, self.runner)
 
         self.tokenizer = None
         if not server_args.skip_tokenizer_init:
@@ -85,6 +84,8 @@ class Engine:
                 server_args.tokenizer_path
             )
         self._eos_ids = self._collect_eos_ids()
+        self._grammar_backend = None
+        self.scheduler = Scheduler(server_args, self.runner, self.tokenizer)
         self.scheduler_thread = SchedulerThread(
             self.scheduler, self.tokenizer,
             stream_interval=server_args.stream_interval,
@@ -132,13 +133,35 @@ class Engine:
             sampling_params = [sampling_params] * n
         return input_ids, sampling_params, single
 
+    def _get_grammar_backend(self):
+        if self._grammar_backend is None:
+            if self.tokenizer is None:
+                raise ValueError(
+                    "constrained decoding requires a tokenizer "
+                    "(skip_tokenizer_init must be off)"
+                )
+            from sglang_custom_tpu.constrained import GrammarBackend
+
+            self._grammar_backend = GrammarBackend(
+                self.tokenizer, self.model_config.vocab_size
+            )
+        return self._grammar_backend
+
     def _submit(self, input_ids, sampling_params, rid=None) -> List[ReqState]:
+        from sglang_custom_tpu.constrained import Grammar
+
         states = []
         for i, (ids, sp) in enumerate(zip(input_ids, sampling_params)):
             req = make_request(
                 ids, sp, self._eos_ids,
                 rid=rid if rid is not None and len(input_ids) == 1 else None,
             )
+            p = req.sampling_params
+            if p.regex is not None or p.json_schema is not None:
+                compiled = self._get_grammar_backend().get(
+                    regex=p.regex, json_schema=p.json_schema
+                )
+                req.grammar = Grammar(compiled, self._eos_ids)
             states.append(self.scheduler_thread.submit(req))
         return states
 

@@ -43,6 +43,10 @@ class PenaltyMeta:
     repetition_penalty: jax.Array  # [B] f32 (1.0 = disabled)
     block_eos: jax.Array           # [B] bool (min_new_tokens not reached)
     eos_ids: jax.Array             # [B, Emax] i32 (-1 padded) tokens to block
+    # Grammar vocab bitmask, packed uint32 (bit t%32 of word t//32 = token t
+    # legal). All-ones rows disable it (reference: constrained/* vocab
+    # bitmask applied in sampling_batch_info.py:171).
+    vocab_mask: jax.Array          # [B, ceil(V/32)] u32
 
 
 def apply_penalties(logits: jax.Array, pm: PenaltyMeta) -> jax.Array:
@@ -74,6 +78,13 @@ def apply_penalties(logits: jax.Array, pm: PenaltyMeta) -> jax.Array:
     eids = jnp.where(pm.eos_ids >= 0, pm.eos_ids, 0)
     blocked = blocked.at[erows, eids].set(pm.eos_ids >= 0, mode="drop")
     logits = jnp.where(blocked & pm.block_eos[:, None], _NEG_INF, logits)
+    # Grammar bitmask: unpack [B, W] u32 -> [B, W*32] bits, slice to V.
+    W = pm.vocab_mask.shape[1]
+    bits = jnp.right_shift(
+        pm.vocab_mask[:, :, None], jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    ) & jnp.uint32(1)
+    allowed = bits.reshape(B, W * 32)[:, :V].astype(bool)
+    logits = jnp.where(allowed, logits, _NEG_INF)
     return logits
 
 

@@ -61,6 +61,9 @@ class Req:
         self.status = ReqStatus.WAITING
         self.finish_reason: Optional[FinishReason] = None
 
+        # Constrained decoding state (reference: Req.grammar)
+        self.grammar = None  # Optional[constrained.Grammar]
+
         # KV state
         self.page_list: List[int] = []   # pages backing fill_ids[:computed_len]
         self.cached_len = 0              # leading tokens whose pages the tree owns
@@ -219,8 +222,10 @@ def build_batch(
         min_p[i] = sp.min_p
 
     penalties = None
-    if any(r.sampling_params.needs_penalties for r in reqs):
-        penalties = _build_penalties(reqs)
+    if any(
+        r.sampling_params.needs_penalties or r.grammar is not None for r in reqs
+    ):
+        penalties = _build_penalties(reqs, vocab_size)
 
     return HostBatch(
         reqs=reqs,
@@ -238,11 +243,12 @@ def build_batch(
     )
 
 
-def _build_penalties(reqs: List[Req]) -> dict:
+def _build_penalties(reqs: List[Req], vocab_size: int) -> dict:
     """Numpy penalty inputs (padded per-batch; bucketed by the runner).
     Reference: sampling/penaltylib — freq/presence counts over generated
-    tokens, min_new_tokens stop-token blocking."""
+    tokens, min_new_tokens stop-token blocking, grammar vocab bitmask."""
     B = len(reqs)
+    W = (vocab_size + 31) // 32
     omax = max(max((len(r.output_ids) for r in reqs), default=0), 1)
     emax = max(
         max(
@@ -259,6 +265,7 @@ def _build_penalties(reqs: List[Req]) -> dict:
     rep = np.ones((B,), np.float32)
     block_eos = np.zeros((B,), bool)
     eos_ids = np.full((B, emax), -1, np.int32)
+    vocab_mask = np.full((B, W), 0xFFFFFFFF, np.uint32)
     for i, r in enumerate(reqs):
         sp = r.sampling_params
         n = len(r.output_ids)
@@ -271,6 +278,9 @@ def _build_penalties(reqs: List[Req]) -> dict:
             block_eos[i] = True
             ids = list(r.eos_token_ids) + list(sp.stop_token_ids)
             eos_ids[i, : len(ids)] = ids
+        if r.grammar is not None and not r.is_chunked:
+            m = r.grammar.vocab_mask()
+            vocab_mask[i, : len(m)] = m
     return {
         "output_ids": out_ids,
         "output_len": out_len,
@@ -279,4 +289,5 @@ def _build_penalties(reqs: List[Req]) -> dict:
         "repetition_penalty": rep,
         "block_eos": block_eos,
         "eos_ids": eos_ids,
+        "vocab_mask": vocab_mask,
     }

@@ -35,9 +35,15 @@ logger = get_logger(__name__)
 
 
 class Scheduler:
-    def __init__(self, server_args: ServerArgs, model_runner: ModelRunner):
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        model_runner: ModelRunner,
+        tokenizer=None,
+    ):
         self.server_args = server_args
         self.runner = model_runner
+        self.tokenizer = tokenizer  # for grammar jump-forward retokenization
         self.page_size = server_args.page_size
 
         self.allocator = PageAllocator(model_runner.num_pages, self.page_size)
@@ -238,6 +244,7 @@ class Scheduler:
                 r.sampling_params.max_new_tokens - len(r.output_ids) >= K
                 and r.seq_len + K <= ctx
                 and not r.sampling_params.needs_penalties
+                and r.grammar is None
                 for r in self.running_batch
             )
             if not ok:
@@ -347,6 +354,8 @@ class Scheduler:
                     import time as _t
 
                     r.first_token_time = _t.monotonic()
+                if r.grammar is not None:
+                    r.grammar.accept_token(tok)
                 r.check_finished(self.runner.context_len)
                 if r.finished:
                     break
@@ -360,10 +369,69 @@ class Scheduler:
                 self._finalize_req(r)
                 if r in self.running_batch:
                     self.running_batch.remove(r)
-            elif batch.is_extend:
-                self.running_batch.append(r)
+            else:
+                if batch.is_extend:
+                    self.running_batch.append(r)
+                if r.grammar is not None:
+                    self._try_jump_forward(r)
             updated.append(r)
         return updated
+
+    # ------------------------------------------------------- grammar jumps
+
+    def _try_jump_forward(self, r: Req) -> None:
+        """Compressed-FSM jump-forward (reference: try_jump_forward
+        base_grammar_backend.py:73 + scheduler retokenization): when the
+        grammar forces a unique continuation, append its tokens without
+        forward passes, publish computed KV to the tree, and requeue the
+        request so prefill extends it over the jumped tokens."""
+        if self.tokenizer is None or r.is_chunked:
+            return
+        forced = r.grammar.jump_forward()
+        if len(forced) < 2:
+            return
+        text = forced.decode("utf-8", errors="ignore")
+        if not text:
+            return
+        ids = self.tokenizer.encode(text, add_special_tokens=False)
+        sp = r.sampling_params
+        accepted = []
+        for tid in ids:
+            if len(r.output_ids) + len(accepted) >= sp.max_new_tokens:
+                break
+            if r.seq_len + len(accepted) + 1 >= self.runner.context_len:
+                break
+            nxt = int(r.grammar.c.next_state[r.grammar.state, tid])
+            if nxt < 0:
+                # retokenization mismatch against the forced byte path
+                break
+            r.grammar.state = nxt
+            accepted.append(int(tid))
+        if not accepted:
+            return
+        r.output_ids.extend(accepted)
+        if sp.return_logprob:
+            r.output_token_logprobs.extend([0.0] * len(accepted))
+        self.num_generated_tokens += len(accepted)
+        r.check_finished(self.runner.context_len)
+        if r.finished:
+            self._finalize_req(r)
+            if r in self.running_batch:
+                self.running_batch.remove(r)
+            return
+        self._requeue_running(r)
+
+    def _requeue_running(self, r: Req) -> None:
+        """Move a running request back to the prefill queue, keeping its
+        computed KV shareable via the tree (publish-then-release)."""
+        if r in self.running_batch:
+            self.running_batch.remove(r)
+        self._publish_unfinished(r)
+        self._release_req_kv(r)
+        r.cached_len = 0
+        r.computed_len = 0
+        r.status = ReqStatus.WAITING
+        self.waiting_queue.insert(0, r)
 
     def _publish_unfinished(self, r: Req) -> None:
         tokens = r.fill_ids[: r.computed_len]

@@ -300,6 +300,13 @@ class ModelRunner:
                 ),
                 block_eos=jnp.asarray(pad(pen["block_eos"], (Bp,))),
                 eos_ids=jnp.asarray(pad(pen["eos_ids"], (Bp, Emax), fill=-1)),
+                vocab_mask=jnp.asarray(
+                    pad(
+                        pen["vocab_mask"],
+                        (Bp, pen["vocab_mask"].shape[1]),
+                        fill=0xFFFFFFFF,
+                    )
+                ),
             )
             kv, tokens, logprobs = self._step_penalized(
                 self.params, self.kv_pool.kv, meta, smeta, pmeta, key

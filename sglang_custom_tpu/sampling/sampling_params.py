@@ -25,6 +25,10 @@ class SamplingParams:
     ignore_eos: bool = False
     return_logprob: bool = False
     n: int = 1
+    # Constrained decoding (reference: sampling_params regex/json_schema +
+    # srt/constrained/*): token-bitmask enforced grammar.
+    regex: Optional[str] = None
+    json_schema: Optional[str] = None
 
     def __post_init__(self):
         if isinstance(self.stop, str):

@@ -25,6 +25,7 @@ def test_apply_penalties_math():
         repetition_penalty=jnp.asarray([1.0, 1.0], jnp.float32),
         block_eos=jnp.asarray([False, True]),
         eos_ids=jnp.asarray([[-1, -1], [5, 7]], jnp.int32),
+        vocab_mask=jnp.full((2, 1), 0xFFFFFFFF, jnp.uint32),
     )
     out = np.asarray(apply_penalties(logits, pm))
     # row 0: token 1 appears twice -> -2*0.5 - 0.25; token 2 once -> -0.75
@@ -46,6 +47,7 @@ def test_repetition_penalty_math():
         repetition_penalty=jnp.asarray([2.0], jnp.float32),
         block_eos=jnp.asarray([False]),
         eos_ids=jnp.asarray([[-1]], jnp.int32),
+        vocab_mask=jnp.full((1, 1), 0xFFFFFFFF, jnp.uint32),
     )
     out = np.asarray(apply_penalties(logits, pm))
     np.testing.assert_allclose(out[0], [1.0, -4.0, 1.0], atol=1e-6)
