@@ -79,9 +79,11 @@ def main():
             for i in range(BATCH)
         ]
 
-    # Warmup: compiles prefill + decode buckets.
+    # Warmup: compiles prefill + single-decode + decode-burst executables
+    # (max_new > burst so the burst program compiles here, not in the
+    # timed loop) and both page-table buckets the timed run will touch.
     sched = Scheduler(args, runner)
-    for r in make_reqs(4):
+    for r in make_reqs(2 * args.decode_burst_size + 4):
         sched.add_request(r)
     while sched.has_work:
         sched.step()

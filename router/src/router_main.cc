@@ -1,0 +1,318 @@
+// sglang_custom_tpu router: HTTP proxy with pluggable load-balancing
+// policies.
+//
+// C++ re-implementation of the reference's Rust router
+// (reference: sgl-router/src/server.rs:107-302 routes, routers/router.rs
+// proxying, policies/, metrics.rs Prometheus, request_tracker.rs). One
+// binary, no external dependencies: POSIX sockets, thread per connection.
+//
+// Usage:
+//   router --port 8000 --policy cache_aware \
+//          --worker http://127.0.0.1:30000 --worker http://127.0.0.1:30001 \
+//          [--probs 0.6,0.4] [--trace-capacity 1000]
+
+#include <atomic>
+#include <csignal>
+#include <cstdio>
+#include <deque>
+#include <mutex>
+#include <sstream>
+#include <thread>
+#include <vector>
+
+#include "http.hpp"
+#include "policies.hpp"
+
+namespace router {
+
+struct Trace {
+  std::string rid;
+  std::string worker;
+  double start, end;
+  bool ok;
+};
+
+class Router {
+ public:
+  Router(std::unique_ptr<Policy> policy, size_t trace_capacity)
+      : policy_(std::move(policy)), trace_capacity_(trace_capacity) {}
+
+  void add_worker(const std::string& url) {
+    std::lock_guard<std::mutex> lk(mu_);
+    for (auto& w : workers_)
+      if (w->url == url) return;
+    auto w = std::make_unique<WorkerState>();
+    w->url = url;
+    workers_.push_back(std::move(w));
+  }
+
+  bool remove_worker(const std::string& url) {
+    std::lock_guard<std::mutex> lk(mu_);
+    for (size_t i = 0; i < workers_.size(); i++)
+      if (workers_[i]->url == url) {
+        workers_.erase(workers_.begin() + i);
+        return true;
+      }
+    return false;
+  }
+
+  std::string list_workers() {
+    std::lock_guard<std::mutex> lk(mu_);
+    std::ostringstream os;
+    os << "{\"urls\": [";
+    for (size_t i = 0; i < workers_.size(); i++) {
+      if (i) os << ", ";
+      os << '"' << workers_[i]->url << '"';
+    }
+    os << "]}";
+    return os.str();
+  }
+
+  std::string get_loads() {
+    std::lock_guard<std::mutex> lk(mu_);
+    std::ostringstream os;
+    os << "{\"loads\": [";
+    for (size_t i = 0; i < workers_.size(); i++) {
+      if (i) os << ", ";
+      os << "{\"url\": \"" << workers_[i]->url
+         << "\", \"outstanding\": " << workers_[i]->outstanding
+         << ", \"total\": " << workers_[i]->total
+         << ", \"failures\": " << workers_[i]->failures << "}";
+    }
+    os << "]}";
+    return os.str();
+  }
+
+  std::string metrics() {
+    std::lock_guard<std::mutex> lk(mu_);
+    std::ostringstream os;
+    os << "# TYPE router_requests_total counter\n";
+    for (auto& w : workers_)
+      os << "router_requests_total{worker=\"" << w->url << "\"} " << w->total
+         << "\n";
+    os << "# TYPE router_outstanding_requests gauge\n";
+    for (auto& w : workers_)
+      os << "router_outstanding_requests{worker=\"" << w->url << "\"} "
+         << w->outstanding << "\n";
+    os << "# TYPE router_request_failures_total counter\n";
+    for (auto& w : workers_)
+      os << "router_request_failures_total{worker=\"" << w->url << "\"} "
+         << w->failures << "\n";
+    os << "# TYPE router_policy_info gauge\nrouter_policy_info{policy=\""
+       << policy_->name() << "\"} 1\n";
+    return os.str();
+  }
+
+  std::string traces() {
+    std::lock_guard<std::mutex> lk(mu_);
+    std::ostringstream os;
+    os << "{\"traces\": [";
+    bool first = true;
+    for (auto& t : traces_) {
+      if (!first) os << ", ";
+      first = false;
+      os << "{\"rid\": \"" << t.rid << "\", \"worker\": \"" << t.worker
+         << "\", \"latency\": " << (t.end - t.start)
+         << ", \"ok\": " << (t.ok ? "true" : "false") << "}";
+    }
+    os << "]}";
+    return os.str();
+  }
+
+  // Select a worker and mark a request in flight. Returns url or "".
+  std::string begin_request(const std::string& body) {
+    std::lock_guard<std::mutex> lk(mu_);
+    std::vector<WorkerState*> healthy;
+    for (auto& w : workers_)
+      if (w->healthy) healthy.push_back(w.get());
+    if (healthy.empty()) return "";
+    size_t i = policy_->select(healthy, body);
+    healthy[i]->outstanding++;
+    healthy[i]->total++;
+    return healthy[i]->url;
+  }
+
+  void end_request(const std::string& url, const RequestMetrics& m,
+                   const std::string& rid) {
+    std::lock_guard<std::mutex> lk(mu_);
+    for (auto& w : workers_)
+      if (w->url == url) {
+        if (w->outstanding > 0) w->outstanding--;
+        if (!m.ok) w->failures++;
+        policy_->on_complete(w.get(), m);
+        break;
+      }
+    traces_.push_back({rid, url, m.start_time, m.end_time, m.ok});
+    while (traces_.size() > trace_capacity_) traces_.pop_front();
+  }
+
+ private:
+  std::mutex mu_;
+  std::unique_ptr<Policy> policy_;
+  std::vector<std::unique_ptr<WorkerState>> workers_;
+  std::deque<Trace> traces_;
+  size_t trace_capacity_;
+};
+
+// Forward req to worker `url`, streaming the response back to client_fd.
+// Returns (ok, bytes_streamed).
+static bool proxy_request(const std::string& url, const HttpRequest& req,
+                          int client_fd) {
+  std::string host;
+  int port;
+  if (!parse_url(url, &host, &port)) return false;
+  int up = connect_to(host, port);
+  if (up < 0) return false;
+  std::ostringstream os;
+  os << req.method << " " << req.path << " HTTP/1.1\r\n"
+     << "Host: " << host << "\r\n"
+     << "Content-Type: application/json\r\n"
+     << "Content-Length: " << req.body.size() << "\r\n"
+     << "Connection: close\r\n\r\n"
+     << req.body;
+  if (!send_all(up, os.str())) {
+    ::close(up);
+    return false;
+  }
+  // Stream everything back verbatim (works for JSON and SSE).
+  char buf[16384];
+  bool ok = true;
+  bool wrote = false;
+  while (true) {
+    ssize_t n = ::recv(up, buf, sizeof(buf), 0);
+    if (n < 0) {
+      ok = false;
+      break;
+    }
+    if (n == 0) break;
+    wrote = true;
+    if (!send_all(client_fd, buf, size_t(n))) {
+      ok = false;
+      break;
+    }
+  }
+  ::close(up);
+  return ok && wrote;
+}
+
+static std::string json_field(const std::string& body, const std::string& key) {
+  // naive "key": "value" extraction (control endpoints only)
+  auto k = body.find("\"" + key + "\"");
+  if (k == std::string::npos) return "";
+  auto colon = body.find(':', k);
+  if (colon == std::string::npos) return "";
+  auto q0 = body.find('"', colon);
+  if (q0 == std::string::npos) return "";
+  auto q1 = body.find('"', q0 + 1);
+  if (q1 == std::string::npos) return "";
+  return body.substr(q0 + 1, q1 - q0 - 1);
+}
+
+static Router* g_router = nullptr;
+static std::atomic<uint64_t> g_rid{0};
+
+static void handle_conn(int fd) {
+  HttpRequest req;
+  if (!read_request(fd, &req)) {
+    ::close(fd);
+    return;
+  }
+  // control endpoints (reference: server.rs worker add/remove, /get_loads,
+  // request-trace endpoints)
+  if (req.path == "/health") {
+    send_response(fd, 200, "{\"status\": \"ok\"}");
+  } else if (req.path == "/list_workers") {
+    send_response(fd, 200, g_router->list_workers());
+  } else if (req.path == "/add_worker") {
+    std::string url = json_field(req.body, "url");
+    if (url.empty()) {
+      send_response(fd, 400, "{\"error\": \"url required\"}");
+    } else {
+      g_router->add_worker(url);
+      send_response(fd, 200, "{\"status\": \"ok\"}");
+    }
+  } else if (req.path == "/remove_worker") {
+    std::string url = json_field(req.body, "url");
+    send_response(fd, g_router->remove_worker(url) ? 200 : 404,
+                  "{\"status\": \"done\"}");
+  } else if (req.path == "/get_loads") {
+    send_response(fd, 200, g_router->get_loads());
+  } else if (req.path == "/metrics") {
+    send_response(fd, 200, g_router->metrics(), "text/plain");
+  } else if (req.path == "/request_traces") {
+    send_response(fd, 200, g_router->traces());
+  } else {
+    // proxy everything else to a worker chosen by the policy
+    std::string url = g_router->begin_request(req.body);
+    if (url.empty()) {
+      send_response(fd, 503, "{\"error\": \"no healthy workers\"}");
+    } else {
+      RequestMetrics m;
+      m.start_time = now_s();
+      bool ok = proxy_request(url, req, fd);
+      m.end_time = now_s();
+      m.ok = ok;
+      std::string rid = json_field(req.body, "rid");
+      if (rid.empty()) rid = "req-" + std::to_string(g_rid++);
+      g_router->end_request(url, m, rid);
+      if (!ok) send_response(fd, 502, "{\"error\": \"worker error\"}");
+    }
+  }
+  ::shutdown(fd, SHUT_WR);
+  ::close(fd);
+}
+
+}  // namespace router
+
+int main(int argc, char** argv) {
+  using namespace router;
+  int port = 8000;
+  std::string policy_name = "round_robin";
+  std::vector<std::string> workers;
+  std::vector<double> probs;
+  size_t trace_cap = 1000;
+  for (int i = 1; i < argc; i++) {
+    std::string a = argv[i];
+    auto next = [&]() -> std::string {
+      return i + 1 < argc ? argv[++i] : "";
+    };
+    if (a == "--port") port = std::stoi(next());
+    else if (a == "--policy") policy_name = next();
+    else if (a == "--worker") workers.push_back(next());
+    else if (a == "--trace-capacity") trace_cap = std::stoul(next());
+    else if (a == "--probs") {
+      std::istringstream ps(next());
+      std::string tok;
+      while (std::getline(ps, tok, ',')) probs.push_back(std::stod(tok));
+    }
+  }
+  auto policy = make_policy(policy_name, probs);
+  if (!policy) {
+    fprintf(stderr, "unknown policy %s\n", policy_name.c_str());
+    return 1;
+  }
+  Router router_obj(std::move(policy), trace_cap);
+  g_router = &router_obj;
+  for (auto& w : workers) router_obj.add_worker(w);
+
+  signal(SIGPIPE, SIG_IGN);
+  int srv = ::socket(AF_INET, SOCK_STREAM, 0);
+  int one = 1;
+  setsockopt(srv, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  addr.sin_port = htons(port);
+  if (bind(srv, (sockaddr*)&addr, sizeof(addr)) != 0) {
+    perror("bind");
+    return 1;
+  }
+  listen(srv, 512);
+  fprintf(stderr, "router listening on 127.0.0.1:%d policy=%s workers=%zu\n",
+          port, policy_name.c_str(), workers.size());
+  while (true) {
+    int fd = ::accept(srv, nullptr, nullptr);
+    if (fd < 0) continue;
+    std::thread(handle_conn, fd).detach();
+  }
+}

@@ -245,6 +245,15 @@ def json_schema_to_regex(schema, depth: int = 0) -> str:
         return r"\[" + _WS + body + _WS + r"\]"
     if t == "object" or "properties" in schema:
         props = schema.get("properties", {})
+        if not props:
+            # generic JSON object: arbitrary keys, scalar or shallow-array
+            # values (json_object response_format)
+            scalar = f"({_STRING}|{_NUMBER}|{_BOOL}|{_NULL})"
+            arr = r"\[" + _WS + f"({scalar}({_WS},{_WS}{scalar}){{0,16}})?" + _WS + r"\]"
+            val = f"({scalar}|{arr})"
+            member = _STRING + _WS + ":" + _WS + val
+            body = f"({member}({_WS},{_WS}{member}){{0,16}})?"
+            return r"\{" + _WS + body + _WS + r"\}"
         parts = []
         for i, (name, sub) in enumerate(props.items()):
             frag = f'"{esc(name)}"{_WS}:{_WS}' + json_schema_to_regex(sub, depth + 1)

@@ -260,6 +260,49 @@ class Engine:
         )
         return outs[0] if single else list(outs)
 
+    def score_choices(
+        self,
+        prompt: Optional[str] = None,
+        choices: Optional[List[str]] = None,
+        prompt_ids: Optional[List[int]] = None,
+        choice_ids: Optional[List[List[int]]] = None,
+    ) -> List[Dict[str, Any]]:
+        """Teacher-forced logprob scores of each choice continuation
+        (reference: lang/choices.py token-length-normalized scoring via
+        logprob_start_len). Returns per-choice dicts with sum/avg logprob."""
+        if choice_ids is None:
+            assert prompt is not None and choices is not None
+            prompt_ids = self.tokenizer.encode(prompt)
+            full = [
+                self.tokenizer.encode(prompt + c) for c in choices
+            ]
+        else:
+            full = [list(prompt_ids) + list(c) for c in choice_ids]
+        start = len(prompt_ids) - 1
+        outs = self.generate(
+            input_ids=full,
+            sampling_params=[
+                {
+                    "max_new_tokens": 0,
+                    "return_input_logprob": True,
+                    "logprob_start_len": start,
+                }
+            ] * len(full),
+        )
+        results = []
+        for ids, out in zip(full, outs):
+            lps = out["meta_info"]["input_token_logprobs"]
+            n = max(len(lps), 1)
+            results.append(
+                {
+                    "sum_logprob": float(sum(lps)),
+                    "avg_logprob": float(sum(lps)) / n,
+                    "num_tokens": len(lps),
+                    "token_logprobs": lps,
+                }
+            )
+        return results
+
     def abort_request(self, rid: str) -> None:
         self.scheduler_thread.abort(rid)
 

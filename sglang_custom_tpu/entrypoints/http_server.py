@@ -185,6 +185,17 @@ class HttpServer:
         stop = obj.get("stop")
         if stop:
             sp["stop"] = [stop] if isinstance(stop, str) else list(stop)
+        rf = obj.get("response_format")
+        if rf:
+            import json as _json
+
+            if rf.get("type") == "json_schema":
+                schema = rf.get("json_schema", {}).get("schema", {})
+                sp["json_schema"] = _json.dumps(schema)
+            elif rf.get("type") == "json_object":
+                sp["json_schema"] = _json.dumps({"type": "object"})
+        if "regex" in obj:
+            sp["regex"] = obj["regex"]
         return sp
 
     async def v1_completions(self, request: web.Request) -> web.StreamResponse:

@@ -58,6 +58,7 @@ class Req:
 
         self.output_ids: List[int] = []
         self.output_token_logprobs: List[float] = []
+        self.input_token_logprobs: List[float] = []
         self.status = ReqStatus.WAITING
         self.finish_reason: Optional[FinishReason] = None
 
@@ -168,6 +169,11 @@ class HostBatch:
     penalties: Optional[dict] = None
     # decode-burst iterations fused into one device program (decode only)
     burst: int = 1
+    # teacher-forced input-logprob targets (extend only; None when unused)
+    ilp_targets: Optional[np.ndarray] = None  # [B, T] i32
+    ilp_valid: Optional[np.ndarray] = None    # [B] i32 (#valid positions)
+    # filled by the runner after the step when ilp_targets is set
+    input_logprobs: Optional[np.ndarray] = None
 
     @property
     def batch_size(self) -> int:
@@ -227,6 +233,18 @@ def build_batch(
     ):
         penalties = _build_penalties(reqs, vocab_size)
 
+    ilp_targets = ilp_valid = None
+    if is_extend and any(r.sampling_params.return_input_logprob for r in reqs):
+        ilp_targets = np.zeros((B, T), np.int32)
+        ilp_valid = np.zeros((B,), np.int32)
+        for i, (r, e) in enumerate(zip(reqs, extend_lens)):
+            if not r.sampling_params.return_input_logprob:
+                continue
+            fill = r.fill_ids
+            tgts = fill[r.computed_len + 1 : r.computed_len + e + 1]
+            ilp_targets[i, : len(tgts)] = tgts
+            ilp_valid[i] = len(tgts)
+
     return HostBatch(
         reqs=reqs,
         is_extend=is_extend,
@@ -240,6 +258,8 @@ def build_batch(
         top_p=top_p,
         min_p=min_p,
         penalties=penalties,
+        ilp_targets=ilp_targets,
+        ilp_valid=ilp_valid,
     )
 
 

@@ -168,6 +168,20 @@ class Scheduler:
     ) -> bool:
         """Match prefix, allocate pages, and add to the prefill batch.
         Returns False to stop admission (memory or budget pressure)."""
+        # The input-logprob step variant and the penalized step variant are
+        # separate executables; don't mix their requests in one batch.
+        wants_ilp = r.sampling_params.return_input_logprob
+        wants_pen = r.sampling_params.needs_penalties or r.grammar is not None
+        if reqs:
+            has_pen = any(
+                x.sampling_params.needs_penalties or x.grammar is not None
+                for x in reqs
+            )
+            has_ilp = any(
+                x.sampling_params.return_input_logprob for x in reqs
+            )
+            if (wants_ilp and has_pen) or (wants_pen and has_ilp):
+                return False
         m = self.tree_cache.match_prefix(r.fill_ids)
         # Never serve the *entire* fill from cache: the last token must be
         # recomputed to produce logits (reference: schedule_policy.py trims
@@ -321,6 +335,18 @@ class Scheduler:
         updated: List[Req] = []
         for i, r in enumerate(batch.reqs):
             ext = int(batch.extend_lens[i])
+            if (
+                batch.input_logprobs is not None
+                and r.sampling_params.return_input_logprob
+            ):
+                # token index of target t is computed_len + t + 1; keep those
+                # past logprob_start_len (reference: logprob_start_len).
+                start = r.sampling_params.logprob_start_len
+                for t in range(int(batch.ilp_valid[i])):
+                    if r.computed_len + t + 1 > start:
+                        r.input_token_logprobs.append(
+                            float(batch.input_logprobs[i, t])
+                        )
             if batch.is_extend and r.is_chunked:
                 # Mid-prompt chunk: the sampled token is meaningless; publish
                 # the computed KV so concurrent requests can share it.

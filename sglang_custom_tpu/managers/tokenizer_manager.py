@@ -198,6 +198,8 @@ class SchedulerThread:
             if req.sampling_params.return_logprob
             else {}
         )
+        if req.sampling_params.return_input_logprob:
+            logprob_info["input_token_logprobs"] = list(req.input_token_logprobs)
         return {
             "rid": req.rid,
             "text": text[state.text_sent :],

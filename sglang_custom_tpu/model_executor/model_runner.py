@@ -177,6 +177,32 @@ class ModelRunner:
         logprobs = compute_token_logprobs(logits, tokens)
         return kv, tokens, logprobs
 
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _step_input_logprobs(
+        self, params, kv, meta: ForwardMeta, smeta: SamplingMeta,
+        target_ids, key,
+    ):
+        """Extend step that also returns teacher-forced logprobs of
+        ``target_ids`` ([B, T]: the token *following* each extend position)
+        — the input-logprob path behind choices/score
+        (reference: logits_processor.py logprob extraction :423)."""
+        hidden, kv = self.model.forward(
+            params, self.cfg, meta, kv, self.attn_backend
+        )
+        logits = self.model.compute_last_logits(params, hidden, meta)
+        tokens = sample(logits, smeta, key)
+        logprobs = compute_token_logprobs(logits, tokens)
+        # Full-position logits -> logprob of each target token.
+        all_logits = jnp.einsum(
+            "bth,hv->btv", hidden, params["lm_head"],
+            preferred_element_type=jnp.float32,
+        )
+        logz = jax.nn.logsumexp(all_logits, axis=-1)  # [B, T]
+        tgt = jnp.take_along_axis(
+            all_logits, target_ids[..., None], axis=-1
+        )[..., 0]
+        return kv, tokens, logprobs, tgt - logz
+
     @functools.partial(jax.jit, static_argnums=(0, 6), donate_argnums=(2,))
     def _decode_burst(
         self, params, kv, meta: ForwardMeta, smeta: SamplingMeta, key, K: int,
@@ -276,6 +302,15 @@ class ModelRunner:
                 self.params, self.kv_pool.kv, meta, smeta, key, batch.burst
             )
             self.kv_pool.kv = kv
+            return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
+
+        if batch.ilp_targets is not None and batch.penalties is None:
+            targets = jnp.asarray(pad(batch.ilp_targets, (Bp, Tp)))
+            kv, tokens, logprobs, ilp = self._step_input_logprobs(
+                self.params, self.kv_pool.kv, meta, smeta, targets, key
+            )
+            self.kv_pool.kv = kv
+            batch.input_logprobs = np.asarray(ilp)[:B]
             return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
 
         if batch.penalties is None:

@@ -24,6 +24,10 @@ class SamplingParams:
     stop_token_ids: Optional[List[int]] = None
     ignore_eos: bool = False
     return_logprob: bool = False
+    # Teacher-forced logprobs of the *input* tokens from this index on
+    # (reference: logprob_start_len; used for choices/score APIs).
+    return_input_logprob: bool = False
+    logprob_start_len: int = 0
     n: int = 1
     # Constrained decoding (reference: sampling_params regex/json_schema +
     # srt/constrained/*): token-bitmask enforced grammar.

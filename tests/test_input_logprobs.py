@@ -1,0 +1,105 @@
+"""Input-logprob (teacher-forced scoring) golden tests vs HF.
+
+Reference analog: logprob_start_len / input_token_logprobs coverage in
+test_srt_endpoint.py + choices scoring (lang/choices.py).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from sglang_custom_tpu.config.server_args import ServerArgs
+from sglang_custom_tpu.entrypoints.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    path = tmp_path_factory.mktemp("tiny_llama_ilp")
+    cfg = LlamaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = LlamaForCausalLM(cfg).to(torch.float32)
+    m.save_pretrained(path, safe_serialization=True)
+    eng = Engine(
+        server_args=ServerArgs(
+            model_path=str(path), dtype="float32", device="cpu", page_size=16,
+            skip_tokenizer_init=True, chunked_prefill_size=24,
+        ),
+        num_pages=256,
+    )
+    yield m, eng
+    eng.shutdown()
+
+
+def hf_token_logprobs(m, ids):
+    with torch.no_grad():
+        logits = m(torch.tensor([ids])).logits[0]  # [T, V]
+    logp = torch.log_softmax(logits, dim=-1)
+    return [float(logp[t, ids[t + 1]]) for t in range(len(ids) - 1)]
+
+
+def test_input_logprobs_match_hf(setup):
+    m, eng = setup
+    ids = [1, 44, 7, 99, 3, 250, 17, 8]
+    out = eng.generate(
+        input_ids=ids,
+        sampling_params={
+            "max_new_tokens": 0, "return_input_logprob": True,
+            "logprob_start_len": 0,
+        },
+    )
+    got = out["meta_info"]["input_token_logprobs"]
+    want = hf_token_logprobs(m, ids)
+    assert len(got) == len(want) == len(ids) - 1
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_input_logprobs_chunked_prefill(setup):
+    """Prompt longer than chunked_prefill_size=24 -> multi-chunk collection."""
+    m, eng = setup
+    rng = np.random.RandomState(0)
+    ids = [int(x) for x in rng.randint(1, 500, size=60)]
+    out = eng.generate(
+        input_ids=ids,
+        sampling_params={
+            "max_new_tokens": 0, "return_input_logprob": True,
+            "logprob_start_len": 0,
+        },
+    )
+    got = out["meta_info"]["input_token_logprobs"]
+    want = hf_token_logprobs(m, ids)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_logprob_start_len(setup):
+    m, eng = setup
+    ids = [1, 44, 7, 99, 3, 250, 17, 8]
+    out = eng.generate(
+        input_ids=ids,
+        sampling_params={
+            "max_new_tokens": 0, "return_input_logprob": True,
+            "logprob_start_len": 5,
+        },
+    )
+    got = out["meta_info"]["input_token_logprobs"]
+    want = hf_token_logprobs(m, ids)[5:]
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_score_choices(setup):
+    m, eng = setup
+    prompt_ids = [1, 44, 7]
+    choice_ids = [[99, 3], [250], [17, 8, 20]]
+    res = eng.score_choices(prompt_ids=prompt_ids, choice_ids=choice_ids)
+    assert len(res) == 3
+    for ids_c, r in zip(choice_ids, res):
+        full = prompt_ids + ids_c
+        want = sum(hf_token_logprobs(m, full)[len(prompt_ids) - 1:])
+        np.testing.assert_allclose(r["sum_logprob"], want, rtol=2e-3, atol=2e-3)
+        assert r["num_tokens"] == len(ids_c)

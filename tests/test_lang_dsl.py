@@ -1,0 +1,131 @@
+"""Frontend DSL tests (reference: test/lang/test_srt_backend.py,
+test_choices.py — programs run against a live backend)."""
+
+import pytest
+
+import sglang_custom_tpu.lang as sgl
+from sglang_custom_tpu.config.server_args import ServerArgs
+from sglang_custom_tpu.entrypoints.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def backend(tmp_path_factory):
+    import torch
+    from tokenizers import Tokenizer, decoders, models, trainers
+    from transformers import (
+        LlamaConfig,
+        LlamaForCausalLM,
+        PreTrainedTokenizerFast,
+    )
+
+    path = tmp_path_factory.mktemp("tiny_llama_dsl")
+    cfg = LlamaConfig(
+        vocab_size=300, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    LlamaForCausalLM(cfg).to(torch.float32).save_pretrained(
+        path, safe_serialization=True
+    )
+    t = Tokenizer(models.BPE(unk_token="<unk>"))
+    t.decoder = decoders.Fuse()
+    trainer = trainers.BpeTrainer(
+        vocab_size=300, special_tokens=["<unk>", "<s>", "</s>"],
+        initial_alphabet=list("abcdefghijklmnopqrstuvwxyz:.!? \n"),
+    )
+    t.train_from_iterator(
+        ["the quick brown fox says hello world yes no maybe " * 4], trainer
+    )
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=t, unk_token="<unk>", bos_token="<s>",
+        eos_token="</s>",
+    )
+    fast.chat_template = (
+        "{% for m in messages %}<{{ m['role'] }}>{{ m['content'] }}"
+        "</{{ m['role'] }}>{% endfor %}"
+        "{% if add_generation_prompt %}<assistant>{% endif %}"
+    )
+    fast.save_pretrained(path)
+
+    eng = Engine(
+        server_args=ServerArgs(
+            model_path=str(path), dtype="float32", device="cpu", page_size=16,
+        ),
+        num_pages=256,
+    )
+    be = sgl.EngineBackend(eng)
+    sgl.set_default_backend(be)
+    yield be
+    eng.shutdown()
+
+
+def test_text_program(backend):
+    @sgl.function
+    def prog(s, topic):
+        s += "tell me about " + topic + ": "
+        s += sgl.gen("story", max_tokens=8, ignore_eos=True, temperature=0.0)
+
+    st = prog.run(topic="foxes")
+    assert len(st["story"]) > 0
+    assert st.text().startswith("tell me about foxes: ")
+    assert st.text().endswith(st["story"])
+    assert st.meta["story"]["completion_tokens"] == 8
+
+
+def test_select_program(backend):
+    @sgl.function
+    def prog(s):
+        s += "the answer is "
+        s += sgl.select("answer", choices=["yes", "no", "maybe"])
+
+    st = prog.run()
+    assert st["answer"] in ("yes", "no", "maybe")
+    assert len(st.meta["answer"]["scores"]) == 3
+
+
+def test_chat_program(backend):
+    @sgl.function
+    def prog(s, q):
+        s += sgl.system("you are helpful.")
+        s += sgl.user(q)
+        s += sgl.assistant(
+            "answer: " + sgl.gen("a", max_tokens=6, ignore_eos=True)
+        )
+
+    st = prog.run(q="hello?")
+    assert st.messages[0]["role"] == "system"
+    assert st.messages[-1]["role"] == "assistant"
+    assert st.messages[-1]["content"].startswith("answer: ")
+    assert len(st["a"]) > 0
+
+
+def test_fork(backend):
+    @sgl.function
+    def prog(s):
+        s += "the fox says "
+        forks = s.fork(3)
+        outs = []
+        for i, f in enumerate(forks):
+            f += sgl.gen(f"v{i}", max_tokens=4, ignore_eos=True,
+                         temperature=0.9)
+            outs.append(f.text())
+        s.variables["outs"] = outs
+
+    st = prog.run()
+    assert len(st["outs"]) == 3
+    for o in st["outs"]:
+        assert o.startswith("the fox says ")
+
+
+def test_run_batch(backend):
+    @sgl.function
+    def prog(s, word):
+        s += word + " "
+        s += sgl.gen("out", max_tokens=4, ignore_eos=True, temperature=0.0)
+
+    states = prog.run_batch([{"word": w} for w in ("fox", "world", "quick")])
+    assert len(states) == 3
+    for st in states:
+        # tokens were generated (text may be empty if all are specials)
+        assert st.meta["out"]["completion_tokens"] == 4

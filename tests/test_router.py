@@ -1,0 +1,193 @@
+"""C++ router tests: policies, worker management, metrics, traces.
+
+Reference analog: sgl-router/tests/ + py_test/ — boot router with fake
+workers and exercise routing behavior.
+"""
+
+import json
+import socket
+import threading
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from sglang_custom_tpu.router import launch_router
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+class FakeWorker:
+    """Counts requests; echoes a generate-style response."""
+
+    def __init__(self):
+        self.port = _free_port()
+        self.count = 0
+        worker = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                worker.count += 1
+                resp = json.dumps({
+                    "text": "ok",
+                    "worker_port": worker.port,
+                    "echo": json.loads(body or b"{}").get("text", ""),
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+
+            def do_GET(self):
+                self.do_POST()
+
+            def log_message(self, *a):
+                pass
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", self.port), Handler)
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    @property
+    def url(self):
+        return f"http://127.0.0.1:{self.port}"
+
+    def stop(self):
+        self.httpd.shutdown()
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(), method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(url, raw=False):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        data = r.read()
+        return r.status, (data.decode() if raw else json.loads(data))
+
+
+@pytest.fixture()
+def cluster():
+    workers = [FakeWorker() for _ in range(3)]
+    handle = launch_router(
+        _free_port(), [w.url for w in workers], policy="round_robin"
+    )
+    yield handle, workers
+    handle.shutdown()
+    for w in workers:
+        w.stop()
+
+
+def test_round_robin_balances(cluster):
+    handle, workers = cluster
+    for i in range(9):
+        status, out = _post(handle.base_url + "/generate", {"text": f"req{i}"})
+        assert status == 200 and out["text"] == "ok"
+    assert [w.count for w in workers] == [3, 3, 3]
+
+
+def test_worker_management(cluster):
+    handle, workers = cluster
+    status, out = _get(handle.base_url + "/list_workers")
+    assert status == 200 and len(out["urls"]) == 3
+
+    _post(handle.base_url + "/remove_worker", {"url": workers[0].url})
+    status, out = _get(handle.base_url + "/list_workers")
+    assert len(out["urls"]) == 2
+
+    _post(handle.base_url + "/add_worker", {"url": workers[0].url})
+    status, out = _get(handle.base_url + "/list_workers")
+    assert len(out["urls"]) == 3
+
+
+def test_loads_metrics_traces(cluster):
+    handle, workers = cluster
+    for i in range(4):
+        _post(handle.base_url + "/generate", {"text": "x", "rid": f"r{i}"})
+    status, loads = _get(handle.base_url + "/get_loads")
+    assert status == 200
+    assert sum(w["total"] for w in loads["loads"]) == 4
+    status, metrics = _get(handle.base_url + "/metrics", raw=True)
+    assert "router_requests_total" in metrics
+    assert 'router_policy_info{policy="round_robin"}' in metrics
+    status, traces = _get(handle.base_url + "/request_traces")
+    rids = {t["rid"] for t in traces["traces"]}
+    assert {"r0", "r1", "r2", "r3"} <= rids
+
+
+def test_cache_aware_affinity():
+    workers = [FakeWorker() for _ in range(2)]
+    handle = launch_router(
+        _free_port(), [w.url for w in workers], policy="cache_aware"
+    )
+    try:
+        # same long prefix repeatedly -> same worker
+        body = {"text": "a very long shared prefix " * 10}
+        targets = set()
+        for _ in range(6):
+            _, out = _post(handle.base_url + "/generate", body)
+            targets.add(out["worker_port"])
+        assert len(targets) == 1
+        # a different prefix should be allowed to go elsewhere eventually
+        body2 = {"text": "completely different content " * 10}
+        _, out2 = _post(handle.base_url + "/generate", body2)
+        assert out2["worker_port"] in [w.port for w in workers]
+    finally:
+        handle.shutdown()
+        for w in workers:
+            w.stop()
+
+
+def test_fixed_probability():
+    workers = [FakeWorker() for _ in range(2)]
+    handle = launch_router(
+        _free_port(), [w.url for w in workers],
+        policy="fixed_probability", probs=[1.0, 0.0],
+    )
+    try:
+        for i in range(8):
+            _post(handle.base_url + "/generate", {"text": f"p{i}"})
+        assert workers[0].count == 8 and workers[1].count == 0
+    finally:
+        handle.shutdown()
+        for w in workers:
+            w.stop()
+
+
+def test_marginal_utility_smoke():
+    workers = [FakeWorker() for _ in range(2)]
+    handle = launch_router(
+        _free_port(), [w.url for w in workers], policy="marginal_utility"
+    )
+    try:
+        for i in range(20):
+            status, _ = _post(handle.base_url + "/generate", {"text": f"m{i}"})
+            assert status == 200
+        assert workers[0].count + workers[1].count == 20
+    finally:
+        handle.shutdown()
+        for w in workers:
+            w.stop()
+
+
+def test_no_workers_503():
+    handle = launch_router(_free_port(), [], policy="random")
+    try:
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(handle.base_url + "/generate", {"text": "x"})
+        assert e.value.code == 503
+    finally:
+        handle.shutdown()
