@@ -44,12 +44,24 @@ class ModelConfig:
     def q_per_kv(self) -> int:
         return self.num_q_heads // self.num_kv_heads
 
+    # quantized-checkpoint metadata (from HF quantization_config)
+    quant_group_size: int = 128
+
     @staticmethod
     def from_hf_dict(cfg: dict) -> "ModelConfig":
         arch = (cfg.get("architectures") or ["LlamaForCausalLM"])[0]
         n_heads = cfg["num_attention_heads"]
         head_dim = cfg.get("head_dim") or cfg["hidden_size"] // n_heads
         rope_scaling = cfg.get("rope_scaling")
+        quantization = None
+        group_size = 128
+        qc = cfg.get("quantization_config")
+        if qc:
+            quantization = qc.get("quant_method")
+            group_size = qc.get("group_size", 128)
+            bits = qc.get("bits", qc.get("w_bit", 4))
+            if quantization in ("awq", "gptq") and bits != 4:
+                raise ValueError(f"{quantization} bits={bits} unsupported")
         return ModelConfig(
             architecture=arch,
             vocab_size=cfg["vocab_size"],
@@ -71,6 +83,8 @@ class ModelConfig:
             or arch.startswith("Qwen2"),
             qk_norm=arch.startswith("Qwen3"),
             norm_topk_prob=cfg.get("norm_topk_prob", True),
+            quantization=quantization,
+            quant_group_size=group_size,
         )
 
     @staticmethod

@@ -64,10 +64,14 @@ class Engine:
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                  "float16": jnp.float16}[server_args.dtype]
         if server_args.load_format == "dummy":
-            params = load_dummy_weights(self.model_config, self.mesh_ctx, dtype=dtype)
+            params = load_dummy_weights(
+                self.model_config, self.mesh_ctx, dtype=dtype,
+                quantization=server_args.quantization,
+            )
         else:
             params = load_weights(
-                server_args.model_path, self.model_config, self.mesh_ctx, dtype=dtype
+                server_args.model_path, self.model_config, self.mesh_ctx,
+                dtype=dtype, quantization=server_args.quantization,
             )
         logger.info("weights loaded in %.1fs", time.monotonic() - t0)
 
@@ -85,6 +89,8 @@ class Engine:
             )
         self._eos_ids = self._collect_eos_ids()
         self._grammar_backend = None
+        self._sessions: Dict[str, List[int]] = {}
+        self._released = False
         self.scheduler = Scheduler(server_args, self.runner, self.tokenizer)
         self.scheduler_thread = SchedulerThread(
             self.scheduler, self.tokenizer,
@@ -305,6 +311,108 @@ class Engine:
 
     def abort_request(self, rid: str) -> None:
         self.scheduler_thread.abort(rid)
+
+    # ------------------------------------------------------------ sessions
+
+    def open_session(self, session_id: Optional[str] = None) -> str:
+        """Multi-turn session keeping KV across calls via the radix cache
+        (reference: managers/session_controller.py)."""
+        import uuid as _uuid
+
+        sid = session_id or _uuid.uuid4().hex
+        if sid in self._sessions:
+            raise ValueError(f"session {sid} already open")
+        self._sessions[sid] = []
+        return sid
+
+    def close_session(self, session_id: str) -> None:
+        self._sessions.pop(session_id, None)
+
+    def session_generate(
+        self,
+        session_id: str,
+        prompt: Optional[str] = None,
+        input_ids: Optional[List[int]] = None,
+        sampling_params: Optional[Dict] = None,
+    ) -> Dict[str, Any]:
+        """One conversation turn: history + new input; generated tokens are
+        appended to the session history. The shared history prefix hits the
+        radix cache, so each turn only prefills its new tokens."""
+        history = self._sessions[session_id]
+        if prompt is not None:
+            input_ids = self.tokenizer.encode(prompt)
+            if history and input_ids and input_ids[0] == (
+                self.tokenizer.bos_token_id
+            ):
+                input_ids = input_ids[1:]  # bos only once per conversation
+        full = history + list(input_ids)
+        out = self.generate(input_ids=full, sampling_params=sampling_params)
+        self._sessions[session_id] = full + out["output_ids"]
+        return out
+
+    # -------------------------------------------------------- weight RPCs
+
+    def update_weights_from_disk(self, model_path: str) -> Dict[str, Any]:
+        """Hot-swap weights (reference: scheduler.py:2462
+        update_weights_from_disk -> model_runner.py:701; pauses the queue
+        via _pause_engine :2459)."""
+        import jax.numpy as jnp
+
+        self.scheduler_thread.pause(drain=True)
+        try:
+            cfg = ModelConfig.from_model_path(model_path)
+            if cfg.architecture != self.model_config.architecture:
+                raise ValueError(
+                    f"architecture mismatch: {cfg.architecture} vs "
+                    f"{self.model_config.architecture}"
+                )
+            dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                     "float16": jnp.float16}[self.server_args.dtype]
+            params = load_weights(
+                model_path, self.model_config, self.mesh_ctx, dtype=dtype,
+                quantization=self.server_args.quantization,
+            )
+            self.runner.params = params
+            # KV computed under the old weights is stale.
+            self.scheduler.tree_cache.reset()
+            self.server_args.model_path = model_path
+            return {"success": True, "message": "weights updated"}
+        except Exception as e:  # keep serving on the old weights
+            return {"success": False, "message": str(e)}
+        finally:
+            self.scheduler_thread.resume()
+
+    def get_weights_by_name(self, name: str):
+        """Debug introspection (reference: get_weights_by_name RPC)."""
+        node = self.runner.params
+        for part in name.split("."):
+            node = node[part] if not part.isdigit() else node[int(part)]
+        import numpy as _np
+
+        return _np.asarray(node)
+
+    def release_memory_occupation(self) -> None:
+        """Free KV pool device memory for colocated RL training
+        (reference: release_memory_occupation scheduler.py:2524 +
+        torch_memory_saver_adapter.py)."""
+        self.scheduler_thread.pause(drain=True)
+        self.scheduler.tree_cache.reset()
+        self.kv_shape = self.runner.kv_pool.kv.shape
+        self.runner.kv_pool.kv.delete()
+        self._released = True
+
+    def resume_memory_occupation(self) -> None:
+        import jax.numpy as jnp
+
+        assert self._released
+        from sglang_custom_tpu.mem_cache.memory_pool import KVCachePool
+
+        self.runner.kv_pool = KVCachePool.create(
+            self.model_config, self.kv_shape[2], self.server_args.page_size,
+            self.runner.kv_dtype, self.mesh_ctx,
+        )
+        self._released = False
+        self.scheduler_thread.resume()
 
     def flush_cache(self) -> None:
         """Drop the radix cache (reference: /flush_cache http_server.py:403)."""

@@ -49,6 +49,13 @@ class HttpServer:
         r.add_post("/v1/completions", self.v1_completions)
         r.add_post("/v1/chat/completions", self.v1_chat_completions)
         r.add_get("/metrics", self.metrics)
+        r.add_post("/open_session", self.open_session)
+        r.add_post("/close_session", self.close_session)
+        r.add_post("/update_weights_from_disk", self.update_weights)
+        r.add_post("/pause_generation", self.pause_generation)
+        r.add_post("/continue_generation", self.continue_generation)
+        r.add_post("/release_memory_occupation", self.release_memory)
+        r.add_post("/resume_memory_occupation", self.resume_memory)
 
     # ----------------------------------------------------------- basic
 
@@ -93,16 +100,61 @@ class HttpServer:
         return web.Response(text="OK")
 
     async def metrics(self, request: web.Request) -> web.Response:
-        """Prometheus text exposition (reference: metrics/collector.py)."""
-        s = self.engine.scheduler_thread.stats()
-        lines = []
-        for k, v in s.items():
-            name = f"sglang_tpu_{k}"
-            lines.append(f"# TYPE {name} gauge")
-            lines.append(f"{name} {v}")
+        """Prometheus text exposition (reference: metrics/collector.py —
+        scheduler gauges + request histograms)."""
         return web.Response(
-            text="\n".join(lines) + "\n", content_type="text/plain"
+            body=self.engine.scheduler_thread.render_metrics(),
+            content_type="text/plain",
         )
+
+    # -------------------------------------------------- control endpoints
+
+    async def open_session(self, request: web.Request) -> web.Response:
+        """reference: http_server /open_session + session_controller.py"""
+        body = await request.json() if request.can_read_body else {}
+        try:
+            sid = self.engine.open_session(body.get("session_id"))
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response({"session_id": sid})
+
+    async def close_session(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        self.engine.close_session(body.get("session_id", ""))
+        return web.Response(text="OK")
+
+    async def update_weights(self, request: web.Request) -> web.Response:
+        """reference: http_server.py:475 /update_weights_from_disk"""
+        body = await request.json()
+        import asyncio
+
+        res = await asyncio.to_thread(
+            self.engine.update_weights_from_disk, body.get("model_path", "")
+        )
+        return web.json_response(res, status=200 if res["success"] else 400)
+
+    async def pause_generation(self, request: web.Request) -> web.Response:
+        """reference: http_server.py:717 /pause_generation"""
+        import asyncio
+
+        await asyncio.to_thread(
+            self.engine.scheduler_thread.pause, False
+        )
+        return web.Response(text="OK")
+
+    async def continue_generation(self, request: web.Request) -> web.Response:
+        self.engine.scheduler_thread.resume()
+        return web.Response(text="OK")
+
+    async def release_memory(self, request: web.Request) -> web.Response:
+        import asyncio
+
+        await asyncio.to_thread(self.engine.release_memory_occupation)
+        return web.Response(text="OK")
+
+    async def resume_memory(self, request: web.Request) -> web.Response:
+        self.engine.resume_memory_occupation()
+        return web.Response(text="OK")
 
     # -------------------------------------------------------- /generate
 

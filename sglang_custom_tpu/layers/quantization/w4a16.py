@@ -1,0 +1,161 @@
+"""Group-wise W4A16 (int4 weight, bf16 activation) quantization.
+
+The TPU answer to the reference's AWQ/GPTQ/marlin stack
+(reference: layers/quantization/awq.py:71 AWQConfig + AWQLinearMethod.apply
+:401 awq_dequantize+mm; gptq.py:558 GPTQMarlinLinearMethod; sgl-kernel
+csrc/gemm awq/marlin kernels). Layout is chosen for the TPU, not copied:
+
+- qweight int8 [K/2, N]: two K-adjacent uint4 nibbles per byte. N stays the
+  minor (lane) dim so the unpacked tile feeds the MXU without transposes;
+  nibble-unpack is two VPU bit-ops.
+- scales/zeros per (group, N): asymmetric uint4 with float zero-points,
+  group_size along K (AWQ convention).
+
+The matmul dequantizes group blocks and runs bf16 MXU matmuls. Under jit
+XLA fuses unpack+dequant into the matmul's operand read; the int4 HBM
+footprint (the actual point of W4A16 serving: weight bandwidth) is
+preserved.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_GROUP = 128
+
+
+def quantize_w4a16(w: np.ndarray, group_size: int = DEFAULT_GROUP) -> dict:
+    """Quantize [K, N] float weights to asymmetric uint4 per (group, n).
+
+    Returns {"qweight": [K/2, N] uint8, "scales": [K/G, N] f32,
+    "zeros": [K/G, N] f32, "group_size": G}.
+    """
+    w = np.asarray(w, dtype=np.float32)
+    K, N = w.shape
+    G = min(group_size, K)
+    assert K % G == 0, (K, G)
+    wg = w.reshape(K // G, G, N)
+    mn = wg.min(axis=1, keepdims=True)  # [K/G, 1, N]
+    mx = wg.max(axis=1, keepdims=True)
+    scale = np.maximum((mx - mn) / 15.0, 1e-8)
+    zero = mn  # value of quant level 0
+    q = np.clip(np.round((wg - zero) / scale), 0, 15).astype(np.uint8)
+    q = q.reshape(K, N)
+    return {
+        "qweight": pack_w4(q),
+        "scales": scale[:, 0].astype(np.float32),
+        "zeros": zero[:, 0].astype(np.float32),
+    }
+
+
+def pack_w4(q: np.ndarray) -> np.ndarray:
+    """[K, N] uint4 values -> [K/2, N] uint8 (K-adjacent nibble pairs;
+    even k in low nibble)."""
+    K, N = q.shape
+    assert K % 2 == 0
+    lo = q[0::2]
+    hi = q[1::2]
+    return (lo | (hi << 4)).astype(np.uint8)
+
+
+def _unpack_w4(qweight: jax.Array) -> jax.Array:
+    """[K/2, N] uint8 -> [K, N] uint8 nibbles (interleaved back)."""
+    lo = qweight & jnp.uint8(0xF)
+    hi = qweight >> jnp.uint8(4)
+    K2, N = qweight.shape
+    return jnp.stack([lo, hi], axis=1).reshape(2 * K2, N)
+
+
+def dequant_w4a16(qd: dict, dtype=jnp.bfloat16) -> jax.Array:
+    """Reference dequantization: [K, N] weights in `dtype`."""
+    q = _unpack_w4(qd["qweight"]).astype(jnp.float32)  # [K, N]
+    K, N = q.shape
+    Gn = qd["scales"].shape[0]
+    G = K // Gn
+    q = q.reshape(Gn, G, N)
+    w = q * qd["scales"][:, None, :] + qd["zeros"][:, None, :]
+    return w.reshape(K, N).astype(dtype)
+
+
+@jax.jit
+def w4a16_matmul(x: jax.Array, qd: dict) -> jax.Array:
+    """x [..., K] @ dequant(qd) [K, N] -> [..., N].
+
+    XLA path: dequant fused into the matmul under jit. (The dedicated
+    Pallas kernel slots in here when profiling shows the fusion falling
+    short — same signature.)
+    """
+    w = dequant_w4a16(qd, dtype=jnp.bfloat16)
+    return jnp.matmul(x.astype(jnp.bfloat16), w).astype(x.dtype)
+
+
+# --------------------------------------------------------- AWQ/GPTQ import
+
+def convert_awq_tensors(qweight: np.ndarray, qzeros: np.ndarray,
+                        scales: np.ndarray) -> dict:
+    """Convert HF AutoAWQ tensors to our layout.
+
+    AWQ stores qweight int32 [K, N/8] with 8 uint4 values per int32 in the
+    interleave order (0, 2, 4, 6, 1, 3, 5, 7), qzeros int32 [K/G, N/8]
+    (same packing), scales fp16 [K/G, N]; w = (q - z) * s
+    (reference: layers/quantization/awq.py awq_dequantize semantics).
+    """
+    # nibble j holds the value for column (c*8 + order[j]); to read column
+    # k we need nibble inv_order[k]
+    order = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+    inv_order = np.argsort(order)
+
+    def unpack_i32(a):  # [..., M/8] int32 -> [..., M] uint4
+        shifts = (inv_order * 4)[None, None, :]
+        vals = (a[..., None] >> shifts) & 0xF
+        return vals.reshape(*a.shape[:-1], a.shape[-1] * 8).astype(np.uint8)
+
+    q = unpack_i32(qweight.astype(np.int64))        # [K, N]
+    z = unpack_i32(qzeros.astype(np.int64))          # [K/G, N]
+    s = scales.astype(np.float32)                    # [K/G, N]
+    return {
+        "qweight": pack_w4(q),
+        "scales": s,
+        # our convention: w = q * scale + zero  =>  zero = -z * s
+        "zeros": (-z.astype(np.float32) * s),
+    }
+
+
+def convert_gptq_tensors(qweight: np.ndarray, qzeros: np.ndarray,
+                         scales: np.ndarray,
+                         g_idx: np.ndarray | None = None) -> dict:
+    """Convert HF AutoGPTQ (no act-order) tensors to our layout.
+
+    GPTQ packs along K: qweight int32 [K/8, N], sequential nibble order;
+    qzeros int32 [K/G, N/8] packed along N; w = (q - (z + 1)) * s
+    (reference: layers/quantization/gptq.py unpack semantics).
+    """
+    if g_idx is not None and len(g_idx):
+        expected = np.arange(len(g_idx)) // (len(g_idx) // scales.shape[0])
+        if not np.array_equal(np.sort(g_idx), g_idx) and not np.array_equal(
+            g_idx, expected
+        ):
+            raise NotImplementedError("GPTQ act-order (desc_act) unsupported")
+
+    def unpack_k(a):  # int32 [K/8, N] -> [K, N] uint4 (sequential)
+        shifts = (np.arange(8) * 4)[None, :, None]
+        vals = (a[:, None, :].astype(np.int64) >> shifts) & 0xF
+        return vals.reshape(a.shape[0] * 8, a.shape[1]).astype(np.uint8)
+
+    def unpack_n(a):  # int32 [G#, N/8] -> [G#, N] uint4 (sequential)
+        shifts = (np.arange(8) * 4)[None, None, :]
+        vals = (a[..., None].astype(np.int64) >> shifts) & 0xF
+        return vals.reshape(a.shape[0], a.shape[1] * 8).astype(np.uint8)
+
+    q = unpack_k(qweight)
+    z = unpack_n(qzeros) + 1
+    s = scales.astype(np.float32)
+    return {
+        "qweight": pack_w4(q),
+        "scales": s,
+        "zeros": (-z.astype(np.float32) * s),
+    }

@@ -46,14 +46,25 @@ class SchedulerThread:
     """Owns the scheduler + device; single consumer of the intake queue."""
 
     def __init__(self, scheduler: Scheduler, tokenizer=None, stream_interval: int = 1):
+        from sglang_custom_tpu.metrics import (
+            SchedulerMetricsCollector,
+            TokenizerMetricsCollector,
+        )
+
         self.scheduler = scheduler
         self.tokenizer = tokenizer
         self.detok = IncrementalDetokenizer(tokenizer) if tokenizer else None
         self.stream_interval = stream_interval
+        self.scheduler_metrics = SchedulerMetricsCollector()
+        self.request_metrics = TokenizerMetricsCollector()
         self.intake: "queue.Queue[ReqState]" = queue.Queue()
         self._states: Dict[str, ReqState] = {}
         self._abort_rids: "queue.Queue[str]" = queue.Queue()
         self._shutdown = threading.Event()
+        self._running = threading.Event()
+        self._running.set()
+        self._idle = threading.Event()
+        self._idle.set()
         self._thread = threading.Thread(target=self._loop, daemon=True, name="scheduler")
         self._thread.start()
 
@@ -69,8 +80,26 @@ class SchedulerThread:
     def abort(self, rid: str) -> None:
         self._abort_rids.put(rid)
 
+    def pause(self, drain: bool = True, timeout: float = 120.0) -> None:
+        """Stop launching device steps (reference: scheduler.py:2459
+        _pause_engine). Intake keeps queueing; with drain=True, blocks
+        until in-flight requests complete."""
+        if drain:
+            deadline = time.monotonic() + timeout
+            while (
+                self.scheduler.has_work and time.monotonic() < deadline
+            ):
+                time.sleep(0.01)
+        self._running.clear()
+        # wait for the current step to finish
+        self._idle.wait(timeout=timeout)
+
+    def resume(self) -> None:
+        self._running.set()
+
     def shutdown(self) -> None:
         self._shutdown.set()
+        self._running.set()
         self._thread.join(timeout=10)
 
     def stats(self) -> Dict[str, Any]:
@@ -90,11 +119,16 @@ class SchedulerThread:
 
     def _loop(self) -> None:
         while not self._shutdown.is_set():
+            if not self._running.is_set():
+                self._idle.set()
+                self._running.wait(timeout=0.1)
+                continue
             self._drain_intake(block=not self.scheduler.has_work)
             self._drain_aborts()
             if not self.scheduler.has_work:
                 continue
             try:
+                self._idle.clear()
                 updated = self.scheduler.step()
             except Exception:
                 logger.exception("scheduler step failed; aborting in-flight reqs")
@@ -190,8 +224,17 @@ class SchedulerThread:
                 state.text_sent = safe
             state.last_len = len(req.output_ids)
 
+    def render_metrics(self) -> bytes:
+        """Prometheus exposition for /metrics (reference: collector.py +
+        http_server enable_metrics)."""
+        return (
+            self.scheduler_metrics.render(self.scheduler)
+            + self.request_metrics.render()
+        )
+
     def _final_chunk(self, state: ReqState) -> Dict[str, Any]:
         req = state.req
+        self.request_metrics.observe_finished(req)
         text = state.detok_status.decoded_text if state.detok_status else ""
         logprob_info = (
             {"output_token_logprobs": list(req.output_token_logprobs)}

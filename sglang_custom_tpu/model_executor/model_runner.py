@@ -166,16 +166,126 @@ class ModelRunner:
         return self.kv_pool.num_pages
 
     # ----------------------------------------------------------------- step
+    #
+    # Hot paths take ONE packed int32 vector instead of ~9 small arrays:
+    # over a remote-attached chip every host->device array is a serial
+    # round-trip, so meta transfer latency — not compute — bounds decode.
+    # Outputs are likewise packed into one array (tokens + bitcast
+    # logprobs) for a single device->host fetch. (The TPU-environment
+    # analog of the reference's overlap scheduler hiding CPU work,
+    # tp_worker_overlap_thread.py:53.)
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _step(self, params, kv, meta: ForwardMeta, smeta: SamplingMeta, key):
+    def _pack_meta(self, batch, Bp, Tp, Pp, pad):
+        import numpy as np
+
+        f32 = np.stack([
+            pad(batch.temperature, (Bp,)),
+            pad(batch.top_p, (Bp,), fill=1.0),
+            pad(batch.min_p, (Bp,)),
+        ]).ravel().view(np.int32)
+        ints = np.concatenate([
+            pad(batch.token_ids, (Bp, Tp)).ravel(),
+            pad(batch.positions, (Bp, Tp)).ravel(),
+            pad(batch.page_table, (Bp, Pp)).ravel(),
+            pad(batch.seq_lens, (Bp,), fill=1),
+            pad(batch.extend_lens, (Bp,), fill=1),
+            pad(batch.top_k, (Bp,), fill=1),
+            f32,
+            np.asarray([self._step_counter], np.int32),
+        ])
+        return jnp.asarray(ints)
+
+    def _unpack_meta(self, packed, B, T, P):
+        o = 0
+
+        def take(n, shape):
+            nonlocal o
+            v = packed[o : o + n].reshape(shape)
+            o += n
+            return v
+
+        token_ids = take(B * T, (B, T))
+        positions = take(B * T, (B, T))
+        page_table = take(B * P, (B, P))
+        seq_lens = take(B, (B,))
+        extend_lens = take(B, (B,))
+        top_k = take(B, (B,))
+        f32 = jax.lax.bitcast_convert_type(take(3 * B, (3, B)), jnp.float32)
+        counter = packed[o]
+        meta = ForwardMeta(
+            token_ids=token_ids, positions=positions, page_table=page_table,
+            seq_lens=seq_lens, extend_lens=extend_lens,
+        )
+        smeta = SamplingMeta(
+            temperature=f32[0], top_k=top_k, top_p=f32[1], min_p=f32[2]
+        )
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.server_args.random_seed), counter
+        )
+        return meta, smeta, key
+
+    @staticmethod
+    def _pack_out(tokens, logprobs):
+        return jnp.concatenate(
+            [
+                tokens.reshape(-1),
+                jax.lax.bitcast_convert_type(logprobs, jnp.int32).reshape(-1),
+            ]
+        )
+
+    @staticmethod
+    def _split_out(out_np, shape):
+        import numpy as np
+
+        n = int(np.prod(shape))
+        tokens = out_np[:n].reshape(shape)
+        logprobs = out_np[n:].view(np.float32).reshape(shape)
+        return tokens, logprobs
+
+    @functools.partial(
+        jax.jit, static_argnums=(0, 3, 4, 5), donate_argnums=(2,)
+    )
+    def _step_packed(self, params, kv, B: int, T: int, P: int, packed):
+        meta, smeta, key = self._unpack_meta(packed, B, T, P)
         hidden, kv = self.model.forward(
             params, self.cfg, meta, kv, self.attn_backend
         )
         logits = self.model.compute_last_logits(params, hidden, meta)
         tokens = sample(logits, smeta, key)
         logprobs = compute_token_logprobs(logits, tokens)
-        return kv, tokens, logprobs
+        return kv, self._pack_out(tokens, logprobs)
+
+    @functools.partial(
+        jax.jit, static_argnums=(0, 3, 4, 5, 6), donate_argnums=(2,)
+    )
+    def _burst_packed(self, params, kv, B: int, T: int, P: int, K: int,
+                      packed):
+        from jax import lax
+
+        meta, smeta, key = self._unpack_meta(packed, B, T, P)
+
+        def step_fn(carry, i):
+            kv, tok, pos, seq_lens = carry
+            m = ForwardMeta(
+                token_ids=tok[:, None],
+                positions=pos[:, None],
+                page_table=meta.page_table,
+                seq_lens=seq_lens,
+                extend_lens=jnp.ones_like(seq_lens),
+            )
+            hidden, kv = self.model.forward(
+                params, self.cfg, m, kv, self.attn_backend
+            )
+            logits = self.model.compute_last_logits(params, hidden, m)
+            tok2 = sample(logits, smeta, jax.random.fold_in(key, i))
+            lp = compute_token_logprobs(logits, tok2)
+            return (kv, tok2, pos + 1, seq_lens + 1), (tok2, lp)
+
+        init = (
+            kv, meta.token_ids[:, 0], meta.positions[:, 0], meta.seq_lens,
+        )
+        (kv, _, _, _), (toks, lps) = lax.scan(step_fn, init, jnp.arange(K))
+        return kv, self._pack_out(toks.T, lps.T)
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _step_input_logprobs(
@@ -202,44 +312,6 @@ class ModelRunner:
             all_logits, target_ids[..., None], axis=-1
         )[..., 0]
         return kv, tokens, logprobs, tgt - logz
-
-    @functools.partial(jax.jit, static_argnums=(0, 6), donate_argnums=(2,))
-    def _decode_burst(
-        self, params, kv, meta: ForwardMeta, smeta: SamplingMeta, key, K: int,
-    ):
-        """K decode iterations in one device program: sampled tokens feed the
-        next iteration through the lax.scan carry, so there is no
-        host<->device round-trip between tokens. The page table is
-        pre-allocated by the scheduler to cover seq_len + K for every row."""
-        from jax import lax
-
-        def step_fn(carry, i):
-            kv, tok, pos, seq_lens = carry
-            m = ForwardMeta(
-                token_ids=tok[:, None],
-                positions=pos[:, None],
-                page_table=meta.page_table,
-                seq_lens=seq_lens,
-                extend_lens=jnp.ones_like(seq_lens),
-            )
-            hidden, kv = self.model.forward(
-                params, self.cfg, m, kv, self.attn_backend
-            )
-            logits = self.model.compute_last_logits(params, hidden, m)
-            tok2 = sample(logits, smeta, jax.random.fold_in(key, i))
-            lp = compute_token_logprobs(logits, tok2)
-            return (kv, tok2, pos + 1, seq_lens + 1), (tok2, lp)
-
-        init = (
-            kv,
-            meta.token_ids[:, 0],
-            meta.positions[:, 0],
-            meta.seq_lens,
-        )
-        (kv, _, _, _), (toks, lps) = lax.scan(
-            step_fn, init, jnp.arange(K)
-        )
-        return kv, toks.T, lps.T  # [B, K]
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _step_penalized(
@@ -277,15 +349,35 @@ class ModelRunner:
             out[tuple(slice(0, s) for s in arr.shape)] = arr
             return out
 
+        self._step_counter += 1
+
+        # Hot paths: one packed upload, one packed download.
+        if batch.penalties is None and batch.ilp_targets is None:
+            packed = self._pack_meta(batch, Bp, Tp, Pp, pad)
+            if batch.burst > 1 and not batch.is_extend:
+                kv, out = self._burst_packed(
+                    self.params, self.kv_pool.kv, Bp, Tp, Pp, batch.burst,
+                    packed,
+                )
+                shape = (Bp, batch.burst)
+            else:
+                kv, out = self._step_packed(
+                    self.params, self.kv_pool.kv, Bp, Tp, Pp, packed
+                )
+                shape = (Bp,)
+            self.kv_pool.kv = kv
+            tokens, logprobs = self._split_out(np.asarray(out), shape)
+            return tokens[:B], logprobs[:B]
+
+        # Cold paths (penalties / grammar / input-logprobs): unpacked meta.
         meta = ForwardMeta(
             token_ids=jnp.asarray(pad(batch.token_ids, (Bp, Tp))),
             positions=jnp.asarray(pad(batch.positions, (Bp, Tp))),
             page_table=jnp.asarray(pad(batch.page_table, (Bp, Pp))),
             # Padding rows: seq_len 1 so they attend only to garbage-page
-            # position 0 (keeps the masked softmax trivially well-formed).
+            # position 0 (keeps the masked softmax trivially well-formed),
+            # and extend_len 1 so the last-token gather stays in bounds.
             seq_lens=jnp.asarray(pad(batch.seq_lens, (Bp,), fill=1)),
-            # Padding rows get extend_len 1 so last-token gather stays in
-            # bounds; their seq_lens=0 keeps attention confined to pos 0.
             extend_lens=jnp.asarray(pad(batch.extend_lens, (Bp,), fill=1)),
         )
         smeta = SamplingMeta(
@@ -294,15 +386,7 @@ class ModelRunner:
             top_p=jnp.asarray(pad(batch.top_p, (Bp,), fill=1.0)),
             min_p=jnp.asarray(pad(batch.min_p, (Bp,))),
         )
-        self._step_counter += 1
         key = jax.random.fold_in(self._base_key, self._step_counter)
-
-        if batch.burst > 1 and not batch.is_extend and batch.penalties is None:
-            kv, tokens, logprobs = self._decode_burst(
-                self.params, self.kv_pool.kv, meta, smeta, key, batch.burst
-            )
-            self.kv_pool.kv = kv
-            return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
 
         if batch.ilp_targets is not None and batch.penalties is None:
             targets = jnp.asarray(pad(batch.ilp_targets, (Bp, Tp)))
@@ -313,11 +397,7 @@ class ModelRunner:
             batch.input_logprobs = np.asarray(ilp)[:B]
             return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
 
-        if batch.penalties is None:
-            kv, tokens, logprobs = self._step(
-                self.params, self.kv_pool.kv, meta, smeta, key
-            )
-        else:
+        if batch.penalties is not None:
             pen = batch.penalties
             Omax = pow2_bucket(pen["output_ids"].shape[1], lo=8)
             Emax = pow2_bucket(pen["eos_ids"].shape[1], lo=8)

@@ -25,14 +25,89 @@ from sglang_custom_tpu.utils import get_logger
 
 logger = get_logger(__name__)
 
+# Projections eligible for weight quantization (embed/lm_head/norms stay
+# high precision, matching the reference's exclude lists).
+QUANTIZABLE = {
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
+    "down_proj",
+}
+
+
+def _quantize_leaf(name: str, w, method: str, group_size: int):
+    """[.., K, N] float stack -> dict of stacked quantized arrays."""
+    from sglang_custom_tpu.layers.quantization import (
+        quantize_fp8,
+        quantize_w4a16,
+    )
+
+    lead = w.shape[:-2]
+    flat = w.reshape((-1,) + w.shape[-2:])
+    outs = []
+    for i in range(flat.shape[0]):
+        if method == "fp8":
+            outs.append(quantize_fp8(flat[i]))
+        else:
+            outs.append(quantize_w4a16(flat[i], group_size))
+    stacked = {
+        k: np.stack([o[k] for o in outs]).reshape(
+            lead + outs[0][k].shape
+        )
+        for k in outs[0]
+    }
+    return stacked
+
+
+def _quant_shardings(qleaf: dict, orig_sharding, mesh_ctx: MeshContext):
+    """Shard quantized arrays like the original weight where divisible."""
+    from jax.sharding import NamedSharding
+
+    spec = orig_sharding.spec
+    mesh = mesh_ctx.mesh
+
+    def fits(arr):
+        for dim, axis in zip(arr.shape, spec):
+            if axis is not None and dim % mesh.shape[axis] != 0:
+                return False
+        return len(spec) <= arr.ndim
+
+    return {
+        k: (
+            NamedSharding(mesh, spec)
+            if fits(v)
+            else mesh_ctx.replicated
+        )
+        for k, v in qleaf.items()
+    }
+
+
+def _apply_quantization(staging, shardings, method: str, group_size: int,
+                        mesh_ctx: MeshContext):
+    """Replace quantizable layer leaves with quantized dicts (in both the
+    staging tree and the sharding tree)."""
+    layers = staging["layers"]
+    for name in list(layers.keys()):
+        if name in QUANTIZABLE:
+            q = _quantize_leaf(name, layers[name], method, group_size)
+            layers[name] = q
+            shardings["layers"][name] = _quant_shardings(
+                q, shardings["layers"][name], mesh_ctx
+            )
+    return staging, shardings
+
 
 def load_weights(
     model_path: str,
     cfg: ModelConfig,
     mesh_ctx: MeshContext,
     dtype: jnp.dtype = jnp.bfloat16,
+    quantization: str = None,
 ) -> dict:
-    """Load HF safetensors into the stacked sharded pytree."""
+    """Load HF safetensors into the stacked sharded pytree.
+
+    ``quantization`` (w4a16 | fp8) quantizes a float checkpoint at load
+    time; AWQ/GPTQ checkpoints are detected from the HF config and their
+    packed tensors converted directly (reference: model_loader/loader.py:202
+    + per-method QuantizationConfig weight loading)."""
     from safetensors import safe_open
 
     files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
@@ -43,11 +118,16 @@ def load_weights(
     shardings = model.param_shardings(cfg, mesh_ctx)
     shapes = model.param_shapes(cfg)
 
+    key_map = model.hf_key_map(cfg)
+
+    if cfg.quantization in ("awq", "gptq"):
+        return _load_prequantized(
+            files, cfg, model, key_map, shapes, shardings, mesh_ctx, dtype
+        )
+
     # Host staging buffers (fp32 numpy keeps safetensors-numpy happy; cast on
     # device_put).
     staging = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
-
-    key_map = model.hf_key_map(cfg)
 
     seen = set()
     for f in files:
@@ -79,14 +159,123 @@ def load_weights(
             logger.warning("lm_head missing and embeddings not tied; tying anyway")
         staging["lm_head"][...] = staging["embed"].T
 
-    # Cast on the host (ml_dtypes handles bf16 in numpy) so each device_put
-    # ships final bytes — no per-tensor cast ops on device.
+    if quantization in ("w4a16", "fp8"):
+        staging, shardings = _apply_quantization(
+            staging, shardings, quantization, cfg.quant_group_size, mesh_ctx
+        )
+
+    return _put_tree(staging, shardings, dtype)
+
+
+def _put_tree(staging, shardings, dtype) -> dict:
+    """device_put the staged tree. Non-quantized fp32 weights are cast to
+    the model dtype on the host (ml_dtypes handles bf16 in numpy) so each
+    device_put ships final bytes; quantized dict leaves (qweight + fp32
+    scales/zeros) keep their exact dtypes."""
     np_dtype = np.dtype(jnp.dtype(dtype).name)
-    return jax.tree.map(
-        lambda w, s: jax.device_put(w.astype(np_dtype), s),
-        staging,
-        shardings,
+
+    def walk(node, snode, quantized=False):
+        if isinstance(node, dict):
+            is_q = "qweight" in node
+            return {
+                k: walk(v, snode[k], quantized or is_q)
+                for k, v in node.items()
+            }
+        w = node
+        if not quantized and w.dtype in (np.float32, np.float64):
+            w = w.astype(np_dtype)
+        return jax.device_put(w, snode)
+
+    return walk(staging, shardings)
+
+
+def _load_prequantized(
+    files, cfg, model, key_map, shapes, shardings, mesh_ctx, dtype
+) -> dict:
+    """AWQ/GPTQ safetensors -> our packed W4A16 layout.
+
+    reference: layers/quantization/awq.py / gptq.py weight loading; tensor
+    packing documented in quantization/w4a16.py convert_* docstrings."""
+    from safetensors import safe_open
+
+    from sglang_custom_tpu.layers.quantization.w4a16 import (
+        convert_awq_tensors,
+        convert_gptq_tensors,
     )
+
+    # hf "...<proj>.weight" -> expect qweight/qzeros/scales(/g_idx) instead
+    quant_names = {}
+    float_map = {}
+    for hf_name, (path, idx, transpose) in key_map.items():
+        if hf_name.endswith(".weight") and path[-1] in QUANTIZABLE:
+            base = hf_name[: -len(".weight")]
+            quant_names[base] = (path, idx)
+        else:
+            float_map[hf_name] = (path, idx, transpose)
+
+    staging = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
+    raw = {}
+    seen = set()
+    for f in files:
+        with safe_open(f, framework="pt") as st:
+            for name in st.keys():
+                for suffix in (".qweight", ".qzeros", ".scales", ".g_idx"):
+                    if name.endswith(suffix):
+                        raw[name] = st.get_tensor(name).numpy()
+                        break
+                else:
+                    if name in float_map:
+                        path, idx, transpose = float_map[name]
+                        w = st.get_tensor(name).float().numpy()
+                        if transpose:
+                            w = np.ascontiguousarray(w.T)
+                        dst = staging
+                        for kpart in path[:-1]:
+                            dst = dst[kpart]
+                        if idx is None:
+                            dst[path[-1]][...] = w
+                        else:
+                            dst[path[-1]][idx] = w
+                        seen.add(name)
+
+    if "lm_head.weight" not in seen:
+        staging["lm_head"][...] = staging["embed"].T
+
+    # assemble quantized leaves
+    qlayers = {}
+    for base, (path, idx) in quant_names.items():
+        name = path[-1]
+        qw = raw.get(base + ".qweight")
+        if qw is None:
+            raise FileNotFoundError(f"missing {base}.qweight")
+        if cfg.quantization == "awq":
+            qd = convert_awq_tensors(
+                qw, raw[base + ".qzeros"], raw[base + ".scales"]
+            )
+        else:
+            qd = convert_gptq_tensors(
+                qw, raw[base + ".qzeros"], raw[base + ".scales"],
+                raw.get(base + ".g_idx"),
+            )
+        slot = qlayers.setdefault(name, {})
+        slot[idx] = qd
+
+    layers = staging["layers"]
+    for name, per_idx in qlayers.items():
+        idxs = sorted(per_idx.keys(), key=lambda x: (x,) if isinstance(x, int) else x)
+        sample = per_idx[idxs[0]]
+        orig_shape = layers[name].shape  # [L, K, N] or [L, E, K, N]
+        lead = orig_shape[:-2]
+        stacked = {}
+        for k in sample:
+            arrs = np.stack([per_idx[i][k] for i in idxs])
+            stacked[k] = arrs.reshape(lead + sample[k].shape)
+        layers[name] = stacked
+        shardings["layers"][name] = _quant_shardings(
+            stacked, shardings["layers"][name], mesh_ctx
+        )
+
+    return _put_tree(staging, shardings, dtype)
 
 
 def load_dummy_weights(
@@ -94,12 +283,35 @@ def load_dummy_weights(
     mesh_ctx: MeshContext,
     dtype: jnp.dtype = jnp.bfloat16,
     seed: int = 0,
+    quantization: str = None,
 ) -> dict:
     """Random-init weights for perf-only runs (reference: DummyModelLoader,
     model_loader/loader.py:531 / --load-format dummy)."""
     model = get_model(cfg.architecture)
     shapes = model.param_shapes(cfg)
     shardings = model.param_shardings(cfg, mesh_ctx)
+
+    if quantization in ("w4a16", "fp8"):
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
+        rng = np.random.Generator(np.random.SFC64(seed))
+        block = (rng.standard_normal(1 << 20, dtype=np.float32) * 0.02)
+
+        def gen(path, s):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            if "norm" in name:
+                return np.ones(s.shape, np.float32)
+            n = int(np.prod(s.shape))
+            reps = -(-n // block.size)
+            return np.tile(block, reps)[:n].reshape(s.shape)
+
+        path_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+        staging = jax.tree_util.tree_unflatten(
+            treedef, [gen(p, s) for p, s in path_leaves]
+        )
+        staging, shardings = _apply_quantization(
+            staging, shardings, quantization, cfg.quant_group_size, mesh_ctx
+        )
+        return _put_tree(staging, shardings, dtype)
     path_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
     keys = list(jax.random.split(jax.random.PRNGKey(seed), len(path_leaves)))
 

@@ -108,6 +108,21 @@ def param_shardings(cfg: ModelConfig, mesh_ctx) -> dict:
     return _ps(cfg, mesh_ctx)
 
 
+def mm(x: jax.Array, w) -> jax.Array:
+    """Linear layer dispatch: plain array or quantized dict leaf
+    (the LinearMethodBase.apply analog — reference:
+    layers/quantization/__init__.py method pattern)."""
+    if isinstance(w, dict):
+        if w["qweight"].dtype == jnp.uint8:
+            from sglang_custom_tpu.layers.quantization.w4a16 import w4a16_matmul
+
+            return w4a16_matmul(x, w)
+        from sglang_custom_tpu.layers.quantization.fp8 import fp8_matmul
+
+        return fp8_matmul(x, w)
+    return jnp.matmul(x, w)
+
+
 def forward(
     params: dict,
     cfg: ModelConfig,
@@ -129,9 +144,9 @@ def forward(
     def layer_fn(x, xs):
         lp, kv_l = xs
         h = rms_norm(x, lp["input_norm"], eps)
-        q = jnp.einsum("bth,hd->btd", h, lp["q_proj"])
-        k = jnp.einsum("bth,hd->btd", h, lp["k_proj"])
-        v = jnp.einsum("bth,hd->btd", h, lp["v_proj"])
+        q = mm(h, lp["q_proj"])
+        k = mm(h, lp["k_proj"])
+        v = mm(h, lp["v_proj"])
         if "q_bias" in lp:
             q = q + lp["q_bias"]
             k = k + lp["k_bias"]
@@ -147,15 +162,12 @@ def forward(
         k = apply_rope(k, cos, sin)
 
         attn_out, kv_l = attn_backend(q, k, v, kv_l, meta, scale)
-        x = x + jnp.einsum(
-            "btd,dh->bth", attn_out.reshape(B, T, Hq * D), lp["o_proj"]
-        )
+        x = x + mm(attn_out.reshape(B, T, Hq * D), lp["o_proj"])
 
         h = rms_norm(x, lp["post_norm"], eps)
-        gate = jnp.einsum("bth,hi->bti", h, lp["gate_proj"])
-        up = jnp.einsum("bth,hi->bti", h, lp["up_proj"])
-        mlp = jnp.einsum("bti,ih->bth", jax.nn.silu(gate) * up, lp["down_proj"])
-        x = x + mlp
+        gate = mm(h, lp["gate_proj"])
+        up = mm(h, lp["up_proj"])
+        x = x + mm(jax.nn.silu(gate) * up, lp["down_proj"])
         return x, kv_l
 
     x, new_kv = lax.scan(layer_fn, x, (params["layers"], kv_cache))

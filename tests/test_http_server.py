@@ -245,7 +245,9 @@ def test_server_info_and_metrics(server):
     info = json.loads(body)
     assert info["max_running_requests"] > 0
     status, body = _req(f"{url}/metrics")
-    assert status == 200 and "sglang_tpu_num_running" in body
+    assert status == 200 and "sglang_tpu:num_running_reqs" in body
+    assert "sglang_tpu:time_to_first_token_seconds" in body
+    assert "sglang_tpu:prompt_tokens_total" in body
 
 
 def test_flush_cache(server):

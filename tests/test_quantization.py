@@ -1,0 +1,175 @@
+"""Quantization: W4A16 pack/convert/matmul, FP8, engine integration.
+
+Reference analog: python/sglang/test/test_block_fp8.py, test_marlin_moe.py —
+kernel-level quant math tests + accuracy-ish engine checks.
+"""
+
+import numpy as np
+import pytest
+
+from sglang_custom_tpu.layers.quantization.w4a16 import (
+    convert_awq_tensors,
+    convert_gptq_tensors,
+    dequant_w4a16,
+    pack_w4,
+    quantize_w4a16,
+    w4a16_matmul,
+)
+from sglang_custom_tpu.layers.quantization.fp8 import fp8_matmul, quantize_fp8
+
+
+def to_np(tree):
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.RandomState(0)
+    w = rng.randn(256, 64).astype(np.float32)
+    qd = quantize_w4a16(w, group_size=128)
+    assert qd["qweight"].shape == (128, 64) and qd["qweight"].dtype == np.uint8
+    deq = np.asarray(dequant_w4a16(qd, dtype=np.float32))
+    # 4-bit asymmetric: max error ~ scale/2 = (range/15)/2
+    scale = (w.reshape(2, 128, 64).max(1) - w.reshape(2, 128, 64).min(1)) / 15
+    err = np.abs(deq - w).reshape(2, 128, 64).max(1)
+    assert (err <= scale * 0.51 + 1e-6).all()
+
+
+def test_w4a16_matmul_matches_dequant():
+    rng = np.random.RandomState(1)
+    w = rng.randn(256, 96).astype(np.float32)
+    x = rng.randn(4, 256).astype(np.float32)
+    qd = quantize_w4a16(w)
+    out = np.asarray(w4a16_matmul(x, qd), np.float32)
+    ref = x.astype(np.float32) @ np.asarray(
+        dequant_w4a16(qd, dtype=np.float32)
+    )
+    # bf16 matmul tolerance
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 0.05
+    # and close to the unquantized matmul within quant noise
+    full = x @ w
+    assert np.abs(out - full).max() / np.abs(full).max() < 0.2
+
+
+def _pack_awq(q, order):
+    # q [K, N] uint4 -> int32 [K, N/8] with nibble order `order`
+    K, N = q.shape
+    out = np.zeros((K, N // 8), np.int64)
+    for j, pos in enumerate(order):
+        out |= q[:, pos::8].astype(np.int64) << (j * 4)
+    return out.astype(np.int32)
+
+
+def test_awq_conversion():
+    rng = np.random.RandomState(2)
+    K, N, G = 128, 32, 64
+    q = rng.randint(0, 16, size=(K, N)).astype(np.uint8)
+    z = rng.randint(0, 16, size=(K // G, N)).astype(np.uint8)
+    s = (rng.rand(K // G, N).astype(np.float32) + 0.1)
+    order = [0, 2, 4, 6, 1, 3, 5, 7]
+    qweight = _pack_awq(q, order)
+    qzeros = _pack_awq(z, order)
+    qd = convert_awq_tensors(qweight, qzeros, s)
+    deq = np.asarray(dequant_w4a16(qd, dtype=np.float32))
+    want = (
+        q.reshape(K // G, G, N).astype(np.float32)
+        - z[:, None, :].astype(np.float32)
+    ) * s[:, None, :]
+    np.testing.assert_allclose(deq, want.reshape(K, N), rtol=1e-5, atol=1e-5)
+
+
+def _pack_gptq_k(q):
+    # q [K, N] -> int32 [K/8, N] sequential nibbles along K
+    K, N = q.shape
+    out = np.zeros((K // 8, N), np.int64)
+    for j in range(8):
+        out |= q[j::8].astype(np.int64) << (j * 4)
+    return out.astype(np.int32)
+
+
+def _pack_gptq_n(z):
+    # z [G#, N] -> int32 [G#, N/8] sequential nibbles along N
+    Gn, N = z.shape
+    out = np.zeros((Gn, N // 8), np.int64)
+    for j in range(8):
+        out |= z[:, j::8].astype(np.int64) << (j * 4)
+    return out.astype(np.int32)
+
+
+def test_gptq_conversion():
+    rng = np.random.RandomState(3)
+    K, N, G = 128, 32, 64
+    q = rng.randint(0, 16, size=(K, N)).astype(np.uint8)
+    z = rng.randint(0, 15, size=(K // G, N)).astype(np.uint8)
+    s = (rng.rand(K // G, N).astype(np.float32) + 0.1)
+    qd = convert_gptq_tensors(_pack_gptq_k(q), _pack_gptq_n(z), s)
+    deq = np.asarray(dequant_w4a16(qd, dtype=np.float32))
+    want = (
+        q.reshape(K // G, G, N).astype(np.float32)
+        - (z[:, None, :].astype(np.float32) + 1)
+    ) * s[:, None, :]
+    np.testing.assert_allclose(deq, want.reshape(K, N), rtol=1e-5, atol=1e-5)
+
+
+def test_fp8_matmul():
+    rng = np.random.RandomState(4)
+    w = rng.randn(128, 64).astype(np.float32)
+    x = rng.randn(4, 128).astype(np.float32)
+    qd = quantize_fp8(w)
+    assert str(qd["qweight"].dtype) == "float8_e4m3fn"
+    out = np.asarray(fp8_matmul(x, qd), np.float32)
+    full = x @ w
+    assert np.abs(out - full).max() / np.abs(full).max() < 0.15
+
+
+@pytest.mark.parametrize("method", ["w4a16", "fp8"])
+def test_engine_quantized(method, tmp_path_factory):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from sglang_custom_tpu.config.server_args import ServerArgs
+    from sglang_custom_tpu.entrypoints.engine import Engine
+
+    path = tmp_path_factory.mktemp(f"tiny_llama_{method}")
+    cfg = LlamaConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    LlamaForCausalLM(cfg).to(torch.float32).save_pretrained(
+        path, safe_serialization=True
+    )
+    base = Engine(
+        server_args=ServerArgs(model_path=str(path), dtype="float32",
+                               device="cpu", page_size=16,
+                               skip_tokenizer_init=True),
+        num_pages=128,
+    )
+    ref = base.generate(
+        input_ids=[1, 7, 23], sampling_params={
+            "max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True,
+            "return_logprob": True},
+    )
+    base.shutdown()
+
+    eng = Engine(
+        server_args=ServerArgs(model_path=str(path), dtype="float32",
+                               device="cpu", page_size=16,
+                               skip_tokenizer_init=True,
+                               quantization=method),
+        num_pages=128,
+    )
+    out = eng.generate(
+        input_ids=[1, 7, 23], sampling_params={
+            "max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True,
+            "return_logprob": True},
+    )
+    eng.shutdown()
+    assert len(out["output_ids"]) == 8
+    # Quantized logprob of the first greedy token should be in the same
+    # ballpark (weights only mildly perturbed).
+    lp_ref = ref["meta_info"]["output_token_logprobs"][0]
+    lp_q = out["meta_info"]["output_token_logprobs"][0]
+    assert abs(lp_ref - lp_q) < 1.5
