@@ -67,6 +67,9 @@ class ServerArgs:
     port: int = 30000
     log_level: str = "info"
     served_model_name: Optional[str] = None  # name reported by /v1/models
+    # Output parsers (reference: --tool-call-parser / --reasoning-parser)
+    tool_call_parser: str = "json"     # see parsers.function_call registry
+    reasoning_parser: Optional[str] = None  # e.g. deepseek-r1 | qwen3 | kimi
 
     # Speculative decoding
     speculative_algorithm: Optional[str] = None  # None | eagle

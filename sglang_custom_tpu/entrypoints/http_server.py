@@ -321,9 +321,13 @@ class HttpServer:
                 {"error": {"message": "server started without tokenizer"}},
                 status=400,
             )
+        tools = obj.get("tools") or None
+        tool_choice = obj.get("tool_choice", "auto" if tools else "none")
         try:
+            tmpl_kwargs = {"tools": tools} if tools else {}
             input_ids = tok.apply_chat_template(
-                messages, tokenize=True, add_generation_prompt=True
+                messages, tokenize=True, add_generation_prompt=True,
+                **tmpl_kwargs,
             )
         except Exception as e:
             return web.json_response(
@@ -334,7 +338,30 @@ class HttpServer:
         cid = f"chatcmpl-{uuid.uuid4().hex}"
         created = int(time.time())
 
+        # Forced tool use via grammar (reference: tool_choice handling in
+        # serving_chat.py + ebnf_composer).
+        fc_format = self.engine.server_args.tool_call_parser
+        if tools and tool_choice not in ("none", "auto"):
+            from sglang_custom_tpu.parsers.function_call import build_tool_regex
+
+            name = None
+            if isinstance(tool_choice, dict):
+                name = tool_choice.get("function", {}).get("name")
+            sp["regex"] = build_tool_regex(
+                tools, format=fc_format, required_name=name
+            )
+
+        reasoning_kind = self.engine.server_args.reasoning_parser
+        want_reasoning = bool(reasoning_kind) and obj.get(
+            "separate_reasoning", True
+        )
+
         if obj.get("stream"):
+            rparser = None
+            if want_reasoning:
+                from sglang_custom_tpu.parsers.reasoning import ReasoningParser
+
+                rparser = ReasoningParser(reasoning_kind)
             agen = await self.engine.async_generate(
                 input_ids=input_ids, sampling_params=sp, stream=True
             )
@@ -343,18 +370,63 @@ class HttpServer:
             )
             await resp.prepare(request)
             first = True
+            tool_buffer = ""
+            buffering_tools = False
+            fcp = None
+            if tools and tool_choice != "none":
+                from sglang_custom_tpu.parsers.function_call import (
+                    FunctionCallParser,
+                )
+
+                fcp = FunctionCallParser(tools, format=fc_format)
+            sent_tool_calls = False
             async for chunk in agen:
                 delta: Dict[str, Any] = {}
                 if first:
                     delta["role"] = "assistant"
                     first = False
-                if chunk.get("text"):
-                    delta["content"] = chunk["text"]
+                text = chunk.get("text", "")
+                if rparser is not None and text:
+                    r = rparser.parse_increment(text)
+                    if r.reasoning_text:
+                        delta["reasoning_content"] = r.reasoning_text
+                    text = r.normal_text
+                if fcp is not None and text and not buffering_tools:
+                    probe = tool_buffer + text
+                    start = fcp.detect_start(probe)
+                    if start >= 0:
+                        # emit the prefix before the marker, buffer the rest
+                        if probe[:start]:
+                            delta["content"] = probe[:start]
+                        tool_buffer = probe[start:]
+                        buffering_tools = True
+                        text = ""
+                    else:
+                        tool_buffer = ""
+                elif buffering_tools:
+                    tool_buffer += text
+                    text = ""
+                if text:
+                    delta["content"] = text
                 finish_reason = (
                     _openai_finish(chunk.get("meta_info", {}))
                     if chunk.get("finished")
                     else None
                 )
+                if chunk.get("finished") and buffering_tools:
+                    normal, calls = fcp.parse_non_stream(tool_buffer)
+                    if normal:
+                        delta["content"] = (
+                            delta.get("content", "") + normal
+                        )
+                    if calls:
+                        delta["tool_calls"] = [
+                            _tool_call_json(c, streaming=True) for c in calls
+                        ]
+                        finish_reason = "tool_calls"
+                        sent_tool_calls = True
+                if not delta and not chunk.get("finished"):
+                    continue
                 await resp.write(_sse({
                     "id": cid, "object": "chat.completion.chunk",
                     "created": created, "model": model,
@@ -371,16 +443,51 @@ class HttpServer:
             input_ids=input_ids, sampling_params=sp
         )
         meta = out["meta_info"]
+        text = out["text"]
+        message: Dict[str, Any] = {"role": "assistant"}
+        finish = _openai_finish(meta)
+        if want_reasoning:
+            from sglang_custom_tpu.parsers.reasoning import ReasoningParser
+
+            r = ReasoningParser(reasoning_kind).parse(text)
+            if r.reasoning_text:
+                message["reasoning_content"] = r.reasoning_text
+            text = r.normal_text
+        if tools and tool_choice != "none":
+            from sglang_custom_tpu.parsers.function_call import (
+                FunctionCallParser,
+            )
+
+            fcp = FunctionCallParser(tools, format=fc_format)
+            if fcp.has_tool_call(text):
+                text, calls = fcp.parse_non_stream(text)
+                if calls:
+                    message["tool_calls"] = [
+                        _tool_call_json(c) for c in calls
+                    ]
+                    finish = "tool_calls"
+        message["content"] = text or None
         return web.json_response({
             "id": cid, "object": "chat.completion", "created": created,
             "model": model,
             "choices": [{
                 "index": 0,
-                "message": {"role": "assistant", "content": out["text"]},
-                "finish_reason": _openai_finish(meta),
+                "message": message,
+                "finish_reason": finish,
             }],
             "usage": _usage(meta),
         })
+
+
+def _tool_call_json(c, streaming: bool = False) -> Dict[str, Any]:
+    d = {
+        "id": f"call_{uuid.uuid4().hex[:24]}",
+        "type": "function",
+        "function": {"name": c.name, "arguments": c.arguments},
+    }
+    if streaming:
+        d["index"] = c.tool_index
+    return d
 
 
 def _openai_finish(meta: Dict[str, Any]) -> Optional[str]:
