@@ -91,7 +91,19 @@ class Engine:
         self._grammar_backend = None
         self._sessions: Dict[str, List[int]] = {}
         self._released = False
-        self.scheduler = Scheduler(server_args, self.runner, self.tokenizer)
+        self.spec_runner = None
+        if server_args.speculative_algorithm:
+            from sglang_custom_tpu.speculative.eagle_worker import (
+                create_spec_runner,
+            )
+
+            self.spec_runner = create_spec_runner(
+                self.runner, server_args, self.mesh_ctx
+            )
+        self.scheduler = Scheduler(
+            server_args, self.runner, self.tokenizer,
+            spec_runner=self.spec_runner,
+        )
         self.scheduler_thread = SchedulerThread(
             self.scheduler, self.tokenizer,
             stream_interval=server_args.stream_interval,

@@ -65,6 +65,10 @@ class Req:
         # Constrained decoding state (reference: Req.grammar)
         self.grammar = None  # Optional[constrained.Grammar]
 
+        # Speculative decoding state (speculative/eagle_worker.py)
+        self.spec_slot: Optional[int] = None  # feature-pool slot
+        self.spec_ok = False                  # prefilled through the spec path
+
         # KV state
         self.page_list: List[int] = []   # pages backing fill_ids[:computed_len]
         self.cached_len = 0              # leading tokens whose pages the tree owns
@@ -169,6 +173,8 @@ class HostBatch:
     penalties: Optional[dict] = None
     # decode-burst iterations fused into one device program (decode only)
     burst: int = 1
+    # speculative decode step (tokens come back [B, K+1] + per-row valid)
+    spec: bool = False
     # teacher-forced input-logprob targets (extend only; None when unused)
     ilp_targets: Optional[np.ndarray] = None  # [B, T] i32
     ilp_valid: Optional[np.ndarray] = None    # [B] i32 (#valid positions)

@@ -40,10 +40,12 @@ class Scheduler:
         server_args: ServerArgs,
         model_runner: ModelRunner,
         tokenizer=None,
+        spec_runner=None,
     ):
         self.server_args = server_args
         self.runner = model_runner
         self.tokenizer = tokenizer  # for grammar jump-forward retokenization
+        self.spec = spec_runner  # speculative worker (eagle_worker.py)
         self.page_size = server_args.page_size
 
         self.allocator = PageAllocator(model_runner.num_pages, self.page_size)
@@ -100,8 +102,17 @@ class Scheduler:
         batch = self._get_next_batch()
         if batch is None:
             return []
-        tokens, logprobs = self.runner.forward(batch)
-        return self._process_result(batch, tokens, logprobs)
+        valid = None
+        if self.spec is not None:
+            if batch.is_extend:
+                tokens, logprobs = self.spec.prefill(batch)
+            elif getattr(batch, "spec", False):
+                tokens, logprobs, valid = self.spec.decode(batch)
+            else:
+                tokens, logprobs = self.runner.forward(batch)
+        else:
+            tokens, logprobs = self.runner.forward(batch)
+        return self._process_result(batch, tokens, logprobs, valid)
 
     # ------------------------------------------------------- batch formation
 
@@ -248,6 +259,10 @@ class Scheduler:
     def _get_decode_batch(self) -> Optional[HostBatch]:
         if not self.running_batch:
             return None
+        if self.spec is not None:
+            batch = self._try_spec_decode_batch()
+            if batch is not None:
+                return batch
         # Decode-burst K: every row must be able to absorb K tokens (token
         # budget + context + pages) with no penalties in the batch and no
         # prefill waiting to interleave; else single-step.
@@ -289,6 +304,41 @@ class Scheduler:
             batch = self._widen_page_table(batch, K)
         return batch
 
+    def _try_spec_decode_batch(self) -> Optional[HostBatch]:
+        """Speculative decode batch: every row must be spec-warmed (prefill
+        went through the spec path), penalty/grammar-free, and able to hold
+        K+1 more KV positions (reference: EAGLEWorker spec branch of
+        run_batch, scheduler.py:1885)."""
+        K1 = self.spec.num_draft + 1
+        ctx = self.runner.context_len
+        ok = all(
+            getattr(r, "spec_ok", False)
+            and r.seq_len + K1 <= ctx
+            and not r.sampling_params.needs_penalties
+            and r.grammar is None
+            for r in self.running_batch
+        )
+        if not ok:
+            return None
+        i = 0
+        while i < len(self.running_batch):
+            r = self.running_batch[i]
+            if not self._extend_req_pages(r, K1):
+                self._retract_one()
+                continue
+            i += 1
+        if not self.running_batch:
+            return None
+        batch = build_batch(
+            self.running_batch,
+            [1] * len(self.running_batch),
+            self.page_size,
+            self.runner.cfg.vocab_size,
+            is_extend=False,
+        )
+        batch.spec = True
+        return self._widen_page_table(batch, K1)
+
     def _widen_page_table(self, batch: HostBatch, K: int) -> HostBatch:
         import numpy as np
 
@@ -322,10 +372,19 @@ class Scheduler:
             self.tree_cache.dec_lock_ref(r.last_node)
         r.page_list = []
         r.last_node = None
+        self._free_spec_slot(r)
+
+    def _free_spec_slot(self, r: Req) -> None:
+        if self.spec is not None and r.spec_slot is not None:
+            self.spec.free_slot(r.spec_slot)
+            r.spec_slot = None
+            r.spec_ok = False
 
     # ------------------------------------------------------------- results
 
-    def _process_result(self, batch: HostBatch, tokens, logprobs) -> List[Req]:
+    def _process_result(
+        self, batch: HostBatch, tokens, logprobs, valid=None
+    ) -> List[Req]:
         import numpy as np
 
         if tokens.ndim == 1:
@@ -368,8 +427,9 @@ class Scheduler:
             # Accept tokens in order; a burst may finish mid-way, in which
             # case the remaining device iterations for this row are discarded
             # (KV written past computed_len is garbage and never referenced).
+            row_k = K if valid is None else int(valid[i])
             accepted = 0
-            for j in range(K):
+            for j in range(row_k):
                 tok = int(tokens[i, j])
                 r.output_ids.append(tok)
                 accepted += 1
@@ -475,6 +535,7 @@ class Scheduler:
         )
         r.page_list = []
         r.last_node = None
+        self._free_spec_slot(r)
 
     # ------------------------------------------------------------- debug
 

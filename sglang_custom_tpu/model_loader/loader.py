@@ -101,6 +101,7 @@ def load_weights(
     mesh_ctx: MeshContext,
     dtype: jnp.dtype = jnp.bfloat16,
     quantization: str = None,
+    model=None,
 ) -> dict:
     """Load HF safetensors into the stacked sharded pytree.
 
@@ -114,7 +115,8 @@ def load_weights(
     if not files:
         raise FileNotFoundError(f"no safetensors under {model_path}")
 
-    model = get_model(cfg.architecture)
+    if model is None:
+        model = get_model(cfg.architecture)
     shardings = model.param_shardings(cfg, mesh_ctx)
     shapes = model.param_shapes(cfg)
 
@@ -154,10 +156,18 @@ def load_weights(
                     dst[path[-1]][idx] = w
                 seen.add(name)
 
-    if "lm_head.weight" not in seen:
+    if "lm_head.weight" not in seen and "lm_head" in staging:
         if not cfg.tie_word_embeddings:
             logger.warning("lm_head missing and embeddings not tied; tying anyway")
         staging["lm_head"][...] = staging["embed"].T
+
+    # Norm weights never shipped in the checkpoint (e.g. EAGLE drafts drop
+    # the first input_layernorm) must be identity, not the zero staging init.
+    for norm_key in ("input_norm", "post_norm"):
+        w = staging.get("layers", {}).get(norm_key)
+        if w is not None:
+            rows = ~np.any(w, axis=tuple(range(1, w.ndim)))
+            w[rows] = 1.0
 
     if quantization in ("w4a16", "fp8"):
         staging, shardings = _apply_quantization(
@@ -284,10 +294,12 @@ def load_dummy_weights(
     dtype: jnp.dtype = jnp.bfloat16,
     seed: int = 0,
     quantization: str = None,
+    model=None,
 ) -> dict:
     """Random-init weights for perf-only runs (reference: DummyModelLoader,
     model_loader/loader.py:531 / --load-format dummy)."""
-    model = get_model(cfg.architecture)
+    if model is None:
+        model = get_model(cfg.architecture)
     shapes = model.param_shapes(cfg)
     shardings = model.param_shardings(cfg, mesh_ctx)
 

@@ -130,7 +130,21 @@ def forward(
     kv_cache: jax.Array,  # [L, Hkv, P, ps, 2, D]
     attn_backend: Callable,
 ):
-    """Returns (hidden [B, T, H], updated kv_cache)."""
+    """Returns (hidden [B, T, H] post final-norm, updated kv_cache)."""
+    feats, kv_cache = forward_features(params, cfg, meta, kv_cache, attn_backend)
+    return rms_norm(feats, params["final_norm"], cfg.rms_norm_eps), kv_cache
+
+
+def forward_features(
+    params: dict,
+    cfg: ModelConfig,
+    meta: ForwardMeta,
+    kv_cache: jax.Array,
+    attn_backend: Callable,
+):
+    """Decoder stack WITHOUT the final norm. The pre-norm hidden is the
+    EAGLE "feature" sequence (reference: eagle_worker.py captures hidden
+    states before lm_head for the draft model)."""
     B, T = meta.token_ids.shape
     D = cfg.head_dim
     Hq, Hkv = cfg.num_q_heads, cfg.num_kv_heads
@@ -171,7 +185,6 @@ def forward(
         return x, kv_l
 
     x, new_kv = lax.scan(layer_fn, x, (params["layers"], kv_cache))
-    x = rms_norm(x, params["final_norm"], eps)
     return x, new_kv
 
 

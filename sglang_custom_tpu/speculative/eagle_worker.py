@@ -1,0 +1,464 @@
+"""Speculative decoding: EAGLE chain drafts verified by the target model.
+
+Capability analog of the reference's EAGLEWorker
+(reference: srt/speculative/eagle_worker.py:68 — draft :503, verify :636,
+draft-extend after decode; spec sampling kernels in sgl-kernel). TPU-first
+re-design — one fused jitted program per decode iteration instead of the
+reference's separate draft CUDA graphs + verify pass + host glue:
+
+1. **Draft chain** (``lax.scan``): K sequential one-token draft forwards.
+   EAGLE conditions draft position t on (token_{t+1}, feature_t) where
+   feature_t is the target's pre-final-norm hidden; features for the chain
+   come from a device-resident **feature pool** [slots, H] written by the
+   previous step — no host round-trip of hidden states.
+2. **Verify**: one target extend over [pending_token, d_1..d_K]; per-position
+   sampling from the target's logits; acceptance = longest prefix where the
+   draft matched the target's sampled token (exactness does not depend on
+   the drafts — accepted tokens are always target samples).
+3. **Draft-extend fix-up** (reference: forward_draft_extend_after_decode):
+   re-run the draft over the accepted positions with *true* target features
+   so draft KV never accumulates approximation drift.
+
+The draft shares the target's page tables: its paged KV pool has identical
+page geometry (fewer layers), so the radix cache and allocator need no
+changes. KV written past the accepted prefix is garbage-but-allocated and
+is overwritten before it can ever be attended to.
+
+Two modes (server_args.speculative_algorithm):
+- ``eagle``: feature-conditioned draft (models/llama_eagle.py).
+- ``draft``: a standalone small causal LM as the draft (classic
+  speculative decoding) — no features, no fix-up pass needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_custom_tpu.config.model_config import ModelConfig
+from sglang_custom_tpu.layers.attention.xla_backend import XlaAttentionBackend
+from sglang_custom_tpu.layers.norms import rms_norm
+from sglang_custom_tpu.layers.sampler import (
+    SamplingMeta,
+    compute_token_logprobs,
+    sample,
+)
+from sglang_custom_tpu.managers.schedule_batch import HostBatch
+from sglang_custom_tpu.mem_cache.memory_pool import KVCachePool
+from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
+from sglang_custom_tpu.model_executor.model_runner import next_bucket, pow2_bucket
+from sglang_custom_tpu.models import llama, llama_eagle
+from sglang_custom_tpu.models.registry import get_model
+from sglang_custom_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class SpecRunner:
+    """Owns draft params + draft KV + feature pool, and the fused spec steps.
+
+    Wraps a ModelRunner: `prefill(batch)` / `decode(batch)` mirror
+    `runner.forward` but also maintain speculative state.
+    """
+
+    def __init__(self, runner, server_args, draft_cfg: ModelConfig,
+                 draft_params: dict):
+        self.runner = runner
+        self.server_args = server_args
+        self.algo = server_args.speculative_algorithm  # eagle | draft
+        self.num_draft = server_args.speculative_num_draft_tokens
+        self.draft_cfg = draft_cfg
+        self.draft_params = draft_params
+        self.draft_model = (
+            llama_eagle if self.algo == "eagle" else get_model(draft_cfg.architecture)
+        )
+        # EAGLE drafts tie lm_head to the target when the checkpoint has none
+        # (reference: llama_eagle shares weights with the target head).
+        if self.algo == "eagle" and not isinstance(
+            runner.params.get("lm_head"), dict
+        ):
+            dp = dict(self.draft_params)
+            if _is_zero(dp.get("lm_head")):
+                dp["lm_head"] = runner.params["lm_head"]
+            self.draft_params = dp
+
+        mesh_ctx = runner.mesh_ctx
+        self.draft_kv = KVCachePool.create(
+            draft_cfg, runner.num_pages, runner.page_size,
+            runner.kv_dtype, mesh_ctx,
+        )
+        logger.info(
+            "spec draft KV pool: %d pages (%.2f GiB), algo=%s K=%d",
+            runner.num_pages, self.draft_kv.mem_bytes() / 2**30,
+            self.algo, self.num_draft,
+        )
+        self.max_slots = server_args.max_running_requests
+        self.feat_pool = jnp.zeros(
+            (self.max_slots, runner.cfg.hidden_size), dtype=runner.dtype
+        )
+        self._free_slots = list(range(self.max_slots - 1, -1, -1))
+        self.draft_backend = self._draft_backend()
+        # accept-length stats (reference: scheduler.py:1905 spec stats)
+        self.num_spec_steps = 0
+        self.num_accepted_tokens = 0
+
+    def _draft_backend(self):
+        choice = self.server_args.attention_backend
+        if choice == "auto":
+            on_tpu = any(
+                d.platform == "tpu"
+                for d in self.runner.mesh_ctx.mesh.devices.flat
+            )
+            choice = "pallas" if on_tpu else "xla"
+        if choice == "pallas":
+            from sglang_custom_tpu.ops.ragged_paged_attention import (
+                supports_geometry,
+            )
+
+            if supports_geometry(
+                self.draft_cfg.head_dim, self.runner.page_size,
+                self.runner.kv_dtype,
+            ):
+                from sglang_custom_tpu.layers.attention.pallas_backend import (
+                    PallasAttentionBackend,
+                )
+
+                return PallasAttentionBackend()
+        return XlaAttentionBackend()
+
+    # ------------------------------------------------------------- slots
+
+    def alloc_slot(self) -> int:
+        if not self._free_slots:
+            raise RuntimeError("out of speculative feature slots")
+        return self._free_slots.pop()
+
+    def free_slot(self, slot: int) -> None:
+        if slot is not None and slot >= 0:
+            self._free_slots.append(slot)
+
+    @property
+    def avg_accept_len(self) -> float:
+        if self.num_spec_steps == 0:
+            return 0.0
+        return self.num_accepted_tokens / self.num_spec_steps
+
+    # --------------------------------------------------------- jitted steps
+
+    @functools.partial(
+        jax.jit, static_argnums=(0,), donate_argnums=(3, 4, 5)
+    )
+    def _prefill_step(
+        self, tparams, dparams, kv, dkv, feat_pool,
+        meta: ForwardMeta, smeta: SamplingMeta, slots, boundary_tok,
+        is_final, key,
+    ):
+        """Target extend + draft warm-up over the same chunk.
+
+        Draft inputs at position t (t in the chunk): token_{t+1} (shifted;
+        the boundary slot is the next chunk's first token, or the token
+        sampled here for final chunks) and feature_t from this forward.
+        """
+        runner = self.runner
+        feats, kv = llama_like_features(
+            runner.model, tparams, runner.cfg, meta, kv, runner.attn_backend
+        )
+        hidden = rms_norm(feats, tparams["final_norm"], runner.cfg.rms_norm_eps)
+        logits = runner.model.compute_last_logits(tparams, hidden, meta)
+        tokens = sample(logits, smeta, key)
+        logprobs = compute_token_logprobs(logits, tokens)
+
+        B, T = meta.token_ids.shape
+        rows = jnp.arange(B)
+        last_idx = jnp.maximum(meta.extend_lens - 1, 0)
+
+        if self.algo == "eagle":
+            bt = jnp.where(is_final, tokens, boundary_tok)
+            shifted = jnp.roll(meta.token_ids, -1, axis=1)
+            shifted = shifted.at[rows, last_idx].set(bt)
+            dmeta = ForwardMeta(
+                token_ids=shifted, positions=meta.positions,
+                page_table=meta.page_table, seq_lens=meta.seq_lens,
+                extend_lens=meta.extend_lens,
+            )
+            _, dkv = self.draft_model.forward(
+                dparams, self.draft_cfg, dmeta, dkv, self.draft_backend, feats
+            )
+        else:
+            _, dkv = self.draft_model.forward(
+                dparams, self.draft_cfg, meta, dkv, self.draft_backend
+            )
+
+        last_feat = jnp.take_along_axis(
+            feats, last_idx[:, None, None], axis=1
+        )[:, 0]
+        feat_pool = feat_pool.at[slots].set(
+            last_feat.astype(feat_pool.dtype), mode="drop"
+        )
+        return kv, dkv, feat_pool, tokens, logprobs
+
+    @functools.partial(
+        jax.jit, static_argnums=(0,), donate_argnums=(3, 4, 5)
+    )
+    def _decode_step(
+        self, tparams, dparams, kv, dkv, feat_pool,
+        meta: ForwardMeta, smeta: SamplingMeta, slots, key,
+    ):
+        """Fused draft-chain -> verify -> fix-up. Returns
+        (kv, dkv, feat_pool, tokens [B,K+1], logprobs [B,K+1], n_accept [B])."""
+        runner = self.runner
+        K = self.num_draft
+        B = meta.token_ids.shape[0]
+        s = meta.positions[:, 0]          # pending-token position
+        x_s = meta.token_ids[:, 0]
+        eagle = self.algo == "eagle"
+
+        safe_slots = jnp.clip(slots, 0, self.max_slots - 1)
+        feats0 = feat_pool[safe_slots]    # [B, H]
+
+        # ---- 1. draft chain (positions shift by -1 in EAGLE mode)
+        dpos0 = s - 1 if eagle else s
+
+        def dstep(carry, _):
+            dkv, tok, feat, dpos = carry
+            dmeta = ForwardMeta(
+                token_ids=tok[:, None],
+                positions=dpos[:, None],
+                page_table=meta.page_table,
+                seq_lens=dpos + 1,
+                extend_lens=jnp.ones_like(dpos),
+            )
+            if eagle:
+                dh, dkv = self.draft_model.forward(
+                    dparams, self.draft_cfg, dmeta, dkv,
+                    self.draft_backend, feat[:, None, :],
+                )
+                dlogits = llama_eagle.compute_logits(dparams, dh[:, 0])
+            else:
+                dh, dkv = self.draft_model.forward(
+                    dparams, self.draft_cfg, dmeta, dkv, self.draft_backend
+                )
+                dlogits = self.draft_model.compute_last_logits(
+                    dparams, dh, dmeta
+                )
+            d = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+            return (dkv, d, dh[:, 0], dpos + 1), d
+
+        (dkv, _, _, _), drafts = jax.lax.scan(
+            dstep, (dkv, x_s, feats0, dpos0), None, length=K
+        )
+        drafts = drafts.T  # [B, K]
+
+        # ---- 2. verify: one target extend over K+1 tokens
+        vtokens = jnp.concatenate([x_s[:, None], drafts], axis=1)  # [B, K+1]
+        vpos = s[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+        vmeta = ForwardMeta(
+            token_ids=vtokens, positions=vpos, page_table=meta.page_table,
+            seq_lens=s + K + 1,
+            extend_lens=jnp.full((B,), K + 1, jnp.int32),
+        )
+        feats, kv = llama_like_features(
+            runner.model, tparams, runner.cfg, vmeta, kv, runner.attn_backend
+        )
+        hidden = rms_norm(feats, tparams["final_norm"], runner.cfg.rms_norm_eps)
+        all_logits = jnp.einsum(
+            "bth,hv->btv", hidden, tparams["lm_head"],
+            preferred_element_type=jnp.float32,
+        )  # [B, K+1, V]
+        y = _sample_positions(all_logits, smeta, key)           # [B, K+1]
+        lps = _position_logprobs(all_logits, y)                 # [B, K+1]
+
+        # ---- 3. acceptance: longest draft prefix matching target samples
+        matches = (drafts == y[:, :K]).astype(jnp.int32)
+        lead = jnp.cumprod(matches, axis=1)
+        a = jnp.sum(lead, axis=1)        # [B] in [0, K]
+        n_accept = a + 1                 # tokens emitted this step
+
+        # ---- 4. draft-extend fix-up with true features (EAGLE only)
+        if eagle:
+            fmeta = ForwardMeta(
+                token_ids=y[:, :K],
+                positions=vpos[:, :K],
+                page_table=meta.page_table,
+                # the fix-up rewrites positions s..s+K-1; later entries hold
+                # garbage that is overwritten before any read
+                seq_lens=s + K,
+                extend_lens=jnp.full((B,), K, jnp.int32),
+            )
+            _, dkv = self.draft_model.forward(
+                dparams, self.draft_cfg, fmeta, dkv,
+                self.draft_backend, feats[:, :K],
+            )
+
+        # ---- 5. next-step feature = target hidden at the last accepted pos
+        new_feat = jnp.take_along_axis(feats, a[:, None, None], axis=1)[:, 0]
+        feat_pool = feat_pool.at[slots].set(
+            new_feat.astype(feat_pool.dtype), mode="drop"
+        )
+        return kv, dkv, feat_pool, y, lps, n_accept
+
+    # ------------------------------------------------------------- host API
+
+    def _pad(self, arr, shape, fill=0):
+        out = np.full(shape, fill, dtype=arr.dtype)
+        out[tuple(slice(0, s) for s in arr.shape)] = arr
+        return out
+
+    def _bucket_meta(self, batch: HostBatch, T_override: Optional[int] = None):
+        runner = self.runner
+        B = batch.batch_size
+        T = T_override or batch.token_ids.shape[1]
+        Bp = next_bucket(B, self.server_args.decode_bs_buckets)
+        Tp = (
+            next_bucket(T, self.server_args.prefill_token_buckets)
+            if T > 1 else 1
+        )
+        pages = batch.page_table.shape[1]
+        Pp = min(pow2_bucket(pages, lo=1), runner.max_pages_per_req)
+        Pp = max(Pp, pages)
+        pad = self._pad
+        meta = ForwardMeta(
+            token_ids=jnp.asarray(pad(batch.token_ids, (Bp, Tp))),
+            positions=jnp.asarray(pad(batch.positions, (Bp, Tp))),
+            page_table=jnp.asarray(pad(batch.page_table, (Bp, Pp))),
+            seq_lens=jnp.asarray(pad(batch.seq_lens, (Bp,), fill=1)),
+            extend_lens=jnp.asarray(pad(batch.extend_lens, (Bp,), fill=1)),
+        )
+        smeta = SamplingMeta(
+            temperature=jnp.asarray(pad(batch.temperature, (Bp,))),
+            top_k=jnp.asarray(pad(batch.top_k, (Bp,), fill=1)),
+            top_p=jnp.asarray(pad(batch.top_p, (Bp,), fill=1.0)),
+            min_p=jnp.asarray(pad(batch.min_p, (Bp,))),
+        )
+        return meta, smeta, B, Bp
+
+    def _slots_of(self, batch: HostBatch, Bp: int) -> np.ndarray:
+        slots = np.full((Bp,), self.max_slots, dtype=np.int32)  # OOB = drop
+        for i, r in enumerate(batch.reqs):
+            if getattr(r, "spec_slot", None) is None:
+                r.spec_slot = self.alloc_slot()
+            slots[i] = r.spec_slot
+        return slots
+
+    def prefill(self, batch: HostBatch):
+        """Spec-aware extend step. Falls back to the plain runner for
+        penalty/input-logprob batches (those rows never enter spec decode)."""
+        runner = self.runner
+        if batch.penalties is not None or batch.ilp_targets is not None:
+            for r in batch.reqs:
+                r.spec_ok = False
+            return runner.forward(batch)
+
+        meta, smeta, B, Bp = self._bucket_meta(batch)
+        slots = self._slots_of(batch, Bp)
+        boundary = np.zeros((Bp,), np.int32)
+        is_final = np.zeros((Bp,), bool)
+        for i, r in enumerate(batch.reqs):
+            e = int(batch.extend_lens[i])
+            nxt = r.computed_len + e
+            fill = r.fill_ids
+            if nxt < len(fill):
+                boundary[i] = fill[nxt]
+            else:
+                is_final[i] = True
+            r.spec_ok = True
+
+        runner._step_counter += 1
+        key = jax.random.fold_in(runner._base_key, runner._step_counter)
+        kv, dkv, fp, tokens, logprobs = self._prefill_step(
+            runner.params, self.draft_params, runner.kv_pool.kv,
+            self.draft_kv.kv, self.feat_pool, meta, smeta,
+            jnp.asarray(slots), jnp.asarray(boundary), jnp.asarray(is_final),
+            key,
+        )
+        runner.kv_pool.kv = kv
+        self.draft_kv.kv = dkv
+        self.feat_pool = fp
+        return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
+
+    def decode(self, batch: HostBatch):
+        """Spec decode step. Returns (tokens [B, K+1], logprobs [B, K+1],
+        n_accept [B])."""
+        runner = self.runner
+        meta, smeta, B, Bp = self._bucket_meta(batch)
+        slots = self._slots_of(batch, Bp)
+        runner._step_counter += 1
+        key = jax.random.fold_in(runner._base_key, runner._step_counter)
+        kv, dkv, fp, y, lps, n_accept = self._decode_step(
+            runner.params, self.draft_params, runner.kv_pool.kv,
+            self.draft_kv.kv, self.feat_pool, meta, smeta,
+            jnp.asarray(slots), key,
+        )
+        runner.kv_pool.kv = kv
+        self.draft_kv.kv = dkv
+        self.feat_pool = fp
+        n = np.asarray(n_accept)[:B]
+        self.num_spec_steps += B
+        self.num_accepted_tokens += int(n.sum())
+        return np.asarray(y)[:B], np.asarray(lps)[:B], n
+
+
+# ------------------------------------------------------------------ helpers
+
+def llama_like_features(model, params, cfg, meta, kv, backend):
+    """Pre-final-norm hidden from any llama-family module. Modules without
+    a forward_features fall back to post-norm hidden (acceptable: features
+    only steer draft quality, never correctness)."""
+    if hasattr(model, "forward_features"):
+        return model.forward_features(params, cfg, meta, kv, backend)
+    return model.forward(params, cfg, meta, kv, backend)
+
+
+def _sample_positions(all_logits, smeta: SamplingMeta, key):
+    """Per-position target sampling: [B, T, V] -> [B, T] i32."""
+    B, T, V = all_logits.shape
+    flat = all_logits.reshape(B * T, V)
+    tiled = SamplingMeta(
+        temperature=jnp.repeat(smeta.temperature, T),
+        top_k=jnp.repeat(smeta.top_k, T),
+        top_p=jnp.repeat(smeta.top_p, T),
+        min_p=jnp.repeat(smeta.min_p, T),
+    )
+    return sample(flat, tiled, key).reshape(B, T)
+
+
+def _position_logprobs(all_logits, tokens):
+    logp = jax.nn.log_softmax(all_logits, axis=-1)
+    return jnp.take_along_axis(logp, tokens[..., None], axis=-1)[..., 0]
+
+
+def _is_zero(arr) -> bool:
+    if arr is None:
+        return True
+    return not bool(jnp.any(arr))
+
+
+def create_spec_runner(runner, server_args, mesh_ctx):
+    """Build a SpecRunner from server args (loads the draft checkpoint)."""
+    from sglang_custom_tpu.model_loader.loader import (
+        load_dummy_weights,
+        load_weights,
+    )
+
+    path = server_args.speculative_draft_model_path
+    if not path:
+        raise ValueError("speculative decoding requires a draft model path")
+    draft_cfg = ModelConfig.from_model_path(path)
+    model = (
+        llama_eagle
+        if server_args.speculative_algorithm == "eagle"
+        else get_model(draft_cfg.architecture)
+    )
+    if server_args.load_format == "dummy":
+        dparams = load_dummy_weights(
+            draft_cfg, mesh_ctx, dtype=runner.dtype, model=model
+        )
+    else:
+        dparams = load_weights(
+            path, draft_cfg, mesh_ctx, dtype=runner.dtype, model=model
+        )
+    return SpecRunner(runner, server_args, draft_cfg, dparams)

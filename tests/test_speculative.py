@@ -1,0 +1,194 @@
+"""Speculative decoding tests.
+
+Correctness contract: greedy speculative output must EXACTLY equal greedy
+non-speculative output — acceptance only affects speed, never the token
+stream (reference test strategy: test/srt/test_eagle_infer.py compares
+outputs with and without speculation).
+"""
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from sglang_custom_tpu.config.server_args import ServerArgs
+from sglang_custom_tpu.entrypoints.engine import Engine
+
+
+def _write_cfg(d, **kw):
+    cfg = {
+        "architectures": ["LlamaForCausalLM"],
+        "vocab_size": 256,
+        "hidden_size": 128,
+        "intermediate_size": 256,
+        "num_hidden_layers": 4,
+        "num_attention_heads": 8,
+        "num_key_value_heads": 4,
+        "rms_norm_eps": 1e-6,
+        "rope_theta": 10000.0,
+        "max_position_embeddings": 512,
+    }
+    cfg.update(kw)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    return d
+
+
+@pytest.fixture(scope="module")
+def paths():
+    base = tempfile.mkdtemp()
+    target = _write_cfg(os.path.join(base, "target"))
+    eagle = _write_cfg(
+        os.path.join(base, "eagle"), num_hidden_layers=1
+    )
+    small = _write_cfg(
+        os.path.join(base, "small"), num_hidden_layers=2, hidden_size=128
+    )
+    return target, eagle, small
+
+
+def _make_engine(target, spec_algo=None, draft=None, **kw):
+    args = ServerArgs(
+        model_path=target,
+        load_format="dummy",
+        device="cpu",
+        dtype="float32",
+        kv_cache_dtype="float32",
+        page_size=16,
+        skip_tokenizer_init=True,
+        context_length=256,
+        speculative_algorithm=spec_algo,
+        speculative_draft_model_path=draft,
+        speculative_num_draft_tokens=4,
+        decode_burst_size=1,
+        **kw,
+    )
+    return Engine(server_args=args, num_pages=128)
+
+
+PROMPTS = [
+    [1, 5, 9, 200, 17],
+    [3, 3, 7],
+    [11, 42, 42, 42, 99, 100, 101, 7, 8],
+]
+
+
+def _greedy_outputs(eng, max_new=24):
+    outs = []
+    for p in PROMPTS:
+        o = eng.generate(
+            input_ids=list(p),
+            sampling_params={"max_new_tokens": max_new, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        outs.append(o["output_ids"])
+    return outs
+
+
+class TestEagleSpec:
+    def test_greedy_matches_baseline(self, paths):
+        target, eagle, _ = paths
+        base = _make_engine(target)
+        expected = _greedy_outputs(base)
+        base.shutdown()
+
+        eng = _make_engine(target, spec_algo="eagle", draft=eagle)
+        got = _greedy_outputs(eng)
+        assert got == expected
+        # all feature slots returned
+        eng.scheduler.check_memory()
+        assert len(eng.spec_runner._free_slots) == eng.spec_runner.max_slots
+        eng.shutdown()
+
+    def test_batched_spec(self, paths):
+        target, eagle, _ = paths
+        eng = _make_engine(target, spec_algo="eagle", draft=eagle)
+        outs = eng.generate(
+            input_ids=[list(p) for p in PROMPTS],
+            sampling_params={"max_new_tokens": 12, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        assert len(outs) == 3
+        for o in outs:
+            assert len(o["output_ids"]) == 12
+        assert eng.spec_runner.num_spec_steps > 0
+        eng.shutdown()
+
+    def test_sampled_spec_runs(self, paths):
+        target, eagle, _ = paths
+        eng = _make_engine(target, spec_algo="eagle", draft=eagle)
+        o = eng.generate(
+            input_ids=[2, 4, 6, 8],
+            sampling_params={"max_new_tokens": 16, "temperature": 0.8,
+                             "top_p": 0.9, "ignore_eos": True},
+        )
+        assert len(o["output_ids"]) == 16
+        eng.shutdown()
+
+    def test_spec_with_penalties_falls_back(self, paths):
+        """Penalty requests bypass the spec path but still work."""
+        target, eagle, _ = paths
+        eng = _make_engine(target, spec_algo="eagle", draft=eagle)
+        o = eng.generate(
+            input_ids=[2, 4, 6, 8],
+            sampling_params={"max_new_tokens": 8, "temperature": 0.0,
+                             "frequency_penalty": 0.5, "ignore_eos": True},
+        )
+        assert len(o["output_ids"]) == 8
+        eng.scheduler.check_memory()
+        eng.shutdown()
+
+    def test_prefix_cache_with_spec(self, paths):
+        target, eagle, _ = paths
+        eng = _make_engine(target, spec_algo="eagle", draft=eagle)
+        p = list(range(2, 60))
+        o1 = eng.generate(input_ids=p, sampling_params={
+            "max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True})
+        o2 = eng.generate(input_ids=p, sampling_params={
+            "max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True})
+        assert o2["meta_info"]["cached_tokens"] > 0
+        assert o1["output_ids"] == o2["output_ids"]
+        eng.shutdown()
+
+
+class TestStandaloneDraftSpec:
+    def test_greedy_matches_baseline(self, paths):
+        target, _, small = paths
+        base = _make_engine(target)
+        expected = _greedy_outputs(base, max_new=16)
+        base.shutdown()
+
+        eng = _make_engine(target, spec_algo="draft", draft=small)
+        got = _greedy_outputs(eng, max_new=16)
+        assert got == expected
+        eng.scheduler.check_memory()
+        eng.shutdown()
+
+    def test_accept_stats(self, paths):
+        target, _, small = paths
+        eng = _make_engine(target, spec_algo="draft", draft=small)
+        _greedy_outputs(eng, max_new=8)
+        assert eng.spec_runner.avg_accept_len >= 1.0
+        eng.shutdown()
+
+
+class TestChunkedPrefillSpec:
+    def test_chunked_prefill_greedy(self, paths):
+        target, eagle, _ = paths
+        base = _make_engine(target)
+        p = list(np.arange(2, 120) % 250)
+        expected = base.generate(input_ids=p, sampling_params={
+            "max_new_tokens": 10, "temperature": 0.0, "ignore_eos": True,
+        })["output_ids"]
+        base.shutdown()
+
+        eng = _make_engine(target, spec_algo="eagle", draft=eagle,
+                           chunked_prefill_size=32)
+        got = eng.generate(input_ids=p, sampling_params={
+            "max_new_tokens": 10, "temperature": 0.0, "ignore_eos": True,
+        })["output_ids"]
+        assert got == expected
+        eng.shutdown()
