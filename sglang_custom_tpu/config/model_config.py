@@ -39,10 +39,58 @@ class ModelConfig:
     qk_norm: bool = False
     # mixtral/qwen-moe router normalizes top-k weights to sum to 1
     norm_topk_prob: bool = True
+    # --- sliding-window attention (gemma2/3, mistral-swa) ---
+    # window size in tokens; 0 = no sliding window anywhere
+    sliding_window: int = 0
+    # per-layer attention kind: tuple of "sliding_attention"/"full_attention"
+    # (HF layer_types); None = derived from sliding_window_pattern
+    layer_types: Optional[tuple] = None
+    # every Nth layer is global (gemma3: 6, gemma2: 2); 0 = all layers full
+    sliding_window_pattern: int = 0
+    # --- gemma-family extras ---
+    attn_logit_softcap: float = 0.0    # gemma2: 50.0
+    final_logit_softcap: float = 0.0   # gemma2: 30.0
+    query_pre_attn_scalar: float = 0.0 # 0 -> use head_dim
+    hidden_act: str = "silu"           # silu | gelu_tanh
+    rope_local_theta: float = 0.0      # gemma3 local-layer rope base; 0 = same
+    # norm weights stored zero-centered (gemma: effective = 1 + w)
+    norm_zero_centered: bool = False
+    # scale embeddings by sqrt(hidden_size) (gemma)
+    scale_embedding: bool = False
 
     @property
     def q_per_kv(self) -> int:
         return self.num_q_heads // self.num_kv_heads
+
+    # A window value meaning "no window" that is safe in int32 position math.
+    FULL_WINDOW = 1 << 30
+
+    def layer_windows(self) -> list:
+        """Per-layer attention window (FULL_WINDOW = global attention).
+
+        Encodes the reference's hybrid sliding-window layout (reference:
+        SWAKVPool mem_cache/memory_pool.py:471 keeps separate pools for
+        full/swa layers; here the window is simply a per-layer mask bound
+        fed to the attention kernel)."""
+        full = ModelConfig.FULL_WINDOW
+        if not self.sliding_window:
+            return [full] * self.num_layers
+        if self.layer_types is not None:
+            return [
+                self.sliding_window if t == "sliding_attention" else full
+                for t in self.layer_types
+            ]
+        if self.sliding_window_pattern:
+            # sliding unless (l+1) is a multiple of the pattern (gemma3
+            # convention; gemma2's alternate layout is pattern=2 shifted,
+            # expressed via layer_types above).
+            return [
+                self.sliding_window
+                if (l + 1) % self.sliding_window_pattern
+                else full
+                for l in range(self.num_layers)
+            ]
+        return [self.sliding_window] * self.num_layers
 
     # quantized-checkpoint metadata (from HF quantization_config)
     quant_group_size: int = 128
@@ -50,6 +98,14 @@ class ModelConfig:
     @staticmethod
     def from_hf_dict(cfg: dict) -> "ModelConfig":
         arch = (cfg.get("architectures") or ["LlamaForCausalLM"])[0]
+        if arch == "Gemma3ForConditionalGeneration":
+            # multimodal wrapper: serve the text tower (reference:
+            # srt/models/gemma3_causal.py handles the text config likewise)
+            text = dict(cfg["text_config"])
+            text["architectures"] = ["Gemma3ForCausalLM"]
+            text.setdefault("vocab_size", cfg.get("vocab_size", 262208))
+            return ModelConfig.from_hf_dict(text)
+        is_gemma = arch.startswith("Gemma")
         n_heads = cfg["num_attention_heads"]
         head_dim = cfg.get("head_dim") or cfg["hidden_size"] // n_heads
         rope_scaling = cfg.get("rope_scaling")
@@ -74,17 +130,39 @@ class ModelConfig:
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
             rope_theta=cfg.get("rope_theta", 10000.0),
             max_position_embeddings=cfg.get("max_position_embeddings", 4096),
-            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", is_gemma),
             rope_scaling=rope_scaling,
             num_experts=cfg.get("num_experts", cfg.get("num_local_experts", 0)) or 0,
             num_experts_per_tok=cfg.get("num_experts_per_tok", 0) or 0,
             moe_intermediate_size=cfg.get("moe_intermediate_size", 0) or 0,
             attention_bias=cfg.get("attention_bias", False)
             or arch.startswith("Qwen2"),
-            qk_norm=arch.startswith("Qwen3"),
+            qk_norm=arch.startswith("Qwen3") or arch.startswith("Gemma3"),
             norm_topk_prob=cfg.get("norm_topk_prob", True),
             quantization=quantization,
             quant_group_size=group_size,
+            sliding_window=cfg.get("sliding_window") or 0,
+            layer_types=(
+                tuple(cfg["layer_types"]) if cfg.get("layer_types") else None
+            ),
+            sliding_window_pattern=(
+                cfg.get("sliding_window_pattern")
+                or (2 if arch == "Gemma2ForCausalLM" else 0)
+            ),
+            attn_logit_softcap=cfg.get("attn_logit_softcapping") or 0.0,
+            final_logit_softcap=cfg.get("final_logit_softcapping") or 0.0,
+            query_pre_attn_scalar=cfg.get("query_pre_attn_scalar") or 0.0,
+            hidden_act=(
+                "gelu_tanh"
+                if cfg.get(
+                    "hidden_activation", cfg.get("hidden_act", "silu")
+                )
+                in ("gelu_pytorch_tanh", "gelu_tanh")
+                else "silu"
+            ),
+            rope_local_theta=cfg.get("rope_local_base_freq") or 0.0,
+            norm_zero_centered=is_gemma,
+            scale_embedding=is_gemma,
         )
 
     @staticmethod

@@ -40,7 +40,12 @@ class AttentionBackend(abc.ABC):
         layer_kv: jax.Array,
         meta: ForwardMeta,
         scale: float,
+        window=None,
+        softcap: float = 0.0,
     ):
+        """``window``: traced int32 scalar — attend only to kv positions
+        > q_pos - window (sliding-window layers; None/FULL_WINDOW = causal).
+        ``softcap``: static attention-logit soft cap (gemma2), 0 disables."""
         ...
 
 

@@ -31,6 +31,8 @@ class PallasAttentionBackend(AttentionBackend):
         layer_kv: jax.Array,
         meta: ForwardMeta,
         scale: float,
+        window=None,
+        softcap: float = 0.0,
     ):
         B, T, Hq, D = q.shape
         layer_kv = write_kv_pages(k_new, v_new, layer_kv, meta)
@@ -41,6 +43,8 @@ class PallasAttentionBackend(AttentionBackend):
                 meta.page_table,
                 meta.seq_lens,
                 scale=scale,
+                window=window,
+                softcap=softcap,
                 interpret=self.interpret,
             )
             return out[:, None], layer_kv
@@ -51,6 +55,8 @@ class PallasAttentionBackend(AttentionBackend):
             meta.seq_lens,
             meta.extend_lens,
             scale=scale,
+            window=window,
+            softcap=softcap,
             interpret=self.interpret,
         )
         return out, layer_kv

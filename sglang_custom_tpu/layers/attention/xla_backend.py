@@ -28,6 +28,8 @@ class XlaAttentionBackend(AttentionBackend):
         layer_kv: jax.Array,
         meta: ForwardMeta,
         scale: float,
+        window=None,
+        softcap: float = 0.0,
     ):
         layer_kv = write_kv_pages(k_new, v_new, layer_kv, meta)
 
@@ -45,11 +47,16 @@ class XlaAttentionBackend(AttentionBackend):
         scores = jnp.einsum(
             "btkgd,kbsd->bktgs", qg, k, preferred_element_type=jnp.float32
         ) * scale  # [B, Hkv, T, G, S]
+        if softcap:
+            scores = softcap * jnp.tanh(scores / softcap)
 
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, 1, S), 4)
         q_pos = meta.positions[:, None, :, None, None]  # [B, 1, T, 1, 1]
         seq_l = meta.seq_lens[:, None, None, None, None]
         mask = (kv_pos <= q_pos) & (kv_pos < seq_l)
+        if window is not None:
+            # HF sliding-window convention: attend iff q_pos - kv_pos < W.
+            mask = mask & (kv_pos > q_pos - window)
         scores = jnp.where(mask, scores, _NEG_INF)
 
         probs = jax.nn.softmax(scores, axis=-1)

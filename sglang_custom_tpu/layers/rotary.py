@@ -46,6 +46,14 @@ def rope_inv_freq(cfg: ModelConfig) -> np.ndarray:
     return inv_freq.astype(np.float32)
 
 
+def rope_inv_freq_base(head_dim: int, theta: float) -> np.ndarray:
+    """Unscaled inverse frequencies for an explicit base (gemma3 local
+    layers use rope_local_base_freq with no scaling)."""
+    return (
+        1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    ).astype(np.float32)
+
+
 def rope_cos_sin(positions: jnp.ndarray, inv_freq: jnp.ndarray):
     """positions [...,] int32 -> (cos, sin) each [..., head_dim/2] fp32."""
     angles = positions[..., None].astype(jnp.float32) * inv_freq

@@ -250,7 +250,7 @@ class ModelRunner:
         hidden, kv = self.model.forward(
             params, self.cfg, meta, kv, self.attn_backend
         )
-        logits = self.model.compute_last_logits(params, hidden, meta)
+        logits = self.model.compute_last_logits(params, hidden, meta, self.cfg)
         tokens = sample(logits, smeta, key)
         logprobs = compute_token_logprobs(logits, tokens)
         return kv, self._pack_out(tokens, logprobs)
@@ -276,7 +276,7 @@ class ModelRunner:
             hidden, kv = self.model.forward(
                 params, self.cfg, m, kv, self.attn_backend
             )
-            logits = self.model.compute_last_logits(params, hidden, m)
+            logits = self.model.compute_last_logits(params, hidden, m, self.cfg)
             tok2 = sample(logits, smeta, jax.random.fold_in(key, i))
             lp = compute_token_logprobs(logits, tok2)
             return (kv, tok2, pos + 1, seq_lens + 1), (tok2, lp)
@@ -299,7 +299,7 @@ class ModelRunner:
         hidden, kv = self.model.forward(
             params, self.cfg, meta, kv, self.attn_backend
         )
-        logits = self.model.compute_last_logits(params, hidden, meta)
+        logits = self.model.compute_last_logits(params, hidden, meta, self.cfg)
         tokens = sample(logits, smeta, key)
         logprobs = compute_token_logprobs(logits, tokens)
         # Full-position logits -> logprob of each target token.
@@ -307,6 +307,10 @@ class ModelRunner:
             "bth,hv->btv", hidden, params["lm_head"],
             preferred_element_type=jnp.float32,
         )
+        if self.cfg.final_logit_softcap:
+            all_logits = self.cfg.final_logit_softcap * jnp.tanh(
+                all_logits / self.cfg.final_logit_softcap
+            )
         logz = jax.nn.logsumexp(all_logits, axis=-1)  # [B, T]
         tgt = jnp.take_along_axis(
             all_logits, target_ids[..., None], axis=-1
@@ -324,7 +328,7 @@ class ModelRunner:
         hidden, kv = self.model.forward(
             params, self.cfg, meta, kv, self.attn_backend
         )
-        logits = self.model.compute_last_logits(params, hidden, meta)
+        logits = self.model.compute_last_logits(params, hidden, meta, self.cfg)
         logits = apply_penalties(logits, pmeta)
         tokens = sample(logits, smeta, key)
         logprobs = compute_token_logprobs(logits, tokens)

@@ -169,6 +169,11 @@ def load_weights(
             rows = ~np.any(w, axis=tuple(range(1, w.ndim)))
             w[rows] = 1.0
 
+    # Model-owned weight fix-ups (e.g. gemma folds its zero-centered norm
+    # convention into the stored weights — models/gemma.py).
+    if hasattr(model, "postprocess_weights"):
+        model.postprocess_weights(staging, cfg)
+
     if quantization in ("w4a16", "fp8"):
         staging, shardings = _apply_quantization(
             staging, shardings, quantization, cfg.quant_group_size, mesh_ctx

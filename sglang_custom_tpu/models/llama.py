@@ -188,7 +188,7 @@ def forward_features(
     return x, new_kv
 
 
-def compute_last_logits(params: dict, hidden: jax.Array, meta: ForwardMeta):
+def compute_last_logits(params: dict, hidden: jax.Array, meta: ForwardMeta, cfg=None):
     """LogitsProcessor analog (reference: srt/layers/logits_processor.py:196):
     gather each row's last computed token, then one lm_head matmul in fp32."""
     idx = jnp.maximum(meta.extend_lens - 1, 0)  # [B]

@@ -16,7 +16,7 @@ from __future__ import annotations
 import types
 from typing import Dict
 
-from sglang_custom_tpu.models import llama, mixtral
+from sglang_custom_tpu.models import gemma, llama, mixtral
 
 
 def _llama_like() -> types.ModuleType:
@@ -30,6 +30,11 @@ MODEL_REGISTRY: Dict[str, types.ModuleType] = {
     "Qwen3ForCausalLM": llama,
     "MixtralForCausalLM": mixtral,
     "Qwen3MoeForCausalLM": mixtral,
+    "Gemma2ForCausalLM": gemma,
+    "Gemma3ForCausalLM": gemma,
+    # multimodal wrapper: ModelConfig.from_hf_dict rewrites it to the text
+    # tower (Gemma3ForCausalLM), but register for direct lookups too
+    "Gemma3ForConditionalGeneration": gemma,
 }
 
 

@@ -91,13 +91,15 @@ def _strip_dmas(kv_ref, kv_scratch, sems, page_table_ref, *,
     return dmas
 
 
-def _attn_strip(q, strip, *, scale, valid_mask, m, l, acc, fold, D):
+def _attn_strip(q, strip, *, scale, valid_mask, m, l, acc, fold, D,
+                softcap=0.0):
     """One online-softmax update against a KV strip.
 
     q     : [Hkv, R, D] (split) or [Hkv, R, 2D] zero-padded (folded)
     strip : [Hkv, S, 2D] — K in lanes [:D], V in lanes [D:]
     valid_mask : [*, R?, S] bool (broadcastable to scores)
     acc   : [Hkv, R, D] (split) or [Hkv, R, 2D] (folded)
+    softcap: static logit soft cap (gemma2); 0 disables.
     """
     if fold:
         kmat = strip          # scores contract all 2D lanes; V lanes see q=0
@@ -108,6 +110,8 @@ def _attn_strip(q, strip, *, scale, valid_mask, m, l, acc, fold, D):
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale  # [Hkv, R, S]
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
     s = jnp.where(valid_mask, s, _NEG_INF)
 
     m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -127,6 +131,7 @@ def _decode_kernel(
     # scalar prefetch
     page_table_ref,  # [B * PMAX] int32 (SMEM)
     seq_lens_ref,    # [B] int32 (SMEM)
+    window_ref,      # [1] int32 (SMEM) — sliding window (FULL_WINDOW = none)
     # inputs
     q_ref,           # [1, Hq, D or 2D] (VMEM block)
     kv_ref,          # [Hkv, P, ps, 2D] (HBM / ANY)
@@ -142,6 +147,7 @@ def _decode_kernel(
     num_kv_heads: int,
     head_dim: int,
     fold: bool,
+    softcap: float,
 ):
     b = pl.program_id(0)
     ps = kv_scratch.shape[2] // kb
@@ -153,6 +159,10 @@ def _decode_kernel(
 
     seq_len = seq_lens_ref[b]
     n_strips = pl.cdiv(seq_len, S)
+    # Sliding window: the q token (position seq_len-1) attends to kv
+    # positions >= lo; whole strips below lo are never DMA'd.
+    lo = jnp.maximum(seq_len - window_ref[0], 0)
+    first = lo // S
 
     def strip_dmas(slot, i):
         return _strip_dmas(
@@ -160,18 +170,19 @@ def _decode_kernel(
             slot=slot, strip=i, kb=kb, ps=ps, pmax=pmax, row_off=b * pmax,
         )
 
-    for d in strip_dmas(0, 0):
+    for d in strip_dmas(0, first):
         d.start()
 
     q = q_ref[0].reshape(num_kv_heads, G, Dq).astype(jnp.float32)
 
-    def body(i, carry):
+    def body(t, carry):
         m, l, acc = carry
-        slot = i % 2
+        i = first + t
+        slot = t % 2
 
         @pl.when(i + 1 < n_strips)
         def _():
-            for d in strip_dmas((i + 1) % 2, i + 1):
+            for d in strip_dmas((t + 1) % 2, i + 1):
                 d.start()
 
         for d in strip_dmas(slot, i):
@@ -179,15 +190,16 @@ def _decode_kernel(
         strip = kv_scratch[slot].astype(jnp.float32)  # [Hkv, S, 2D]
         kv_pos = i * S + jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
         return _attn_strip(
-            q, strip, scale=scale, valid_mask=kv_pos < seq_len,
-            m=m, l=l, acc=acc, fold=fold, D=D,
+            q, strip, scale=scale,
+            valid_mask=(kv_pos < seq_len) & (kv_pos >= lo),
+            m=m, l=l, acc=acc, fold=fold, D=D, softcap=softcap,
         )
 
     Dacc = 2 * D if fold else D
     m0 = jnp.full((num_kv_heads, G, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((num_kv_heads, G, 1), jnp.float32)
     acc0 = jnp.zeros((num_kv_heads, G, Dacc), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_strips, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, n_strips - first, body, (m0, l0, acc0))
 
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0] = out.reshape(Hq, Dacc).astype(o_ref.dtype)
@@ -198,6 +210,7 @@ def _extend_kernel(
     page_table_ref,   # [B * PMAX] int32 (SMEM)
     seq_lens_ref,     # [B] int32
     extend_lens_ref,  # [B] int32
+    window_ref,       # [1] int32 — sliding window (FULL_WINDOW = none)
     # inputs
     q_ref,            # [1, Hkv, TB, G, D or 2D] block (VMEM), head-major
     kv_ref,           # [Hkv, P, ps, 2D] (HBM)
@@ -213,6 +226,7 @@ def _extend_kernel(
     num_kv_heads: int,
     head_dim: int,
     fold: bool,
+    softcap: float,
 ):
     # Grid = (B, num_blocks). q/out are pre-arranged [B, Hkv, T, G, D] so a
     # grid cell owns whole (sublane, lane) tiles — Mosaic disallows
@@ -245,6 +259,11 @@ def _extend_kernel(
         # Highest absolute position any q row in this block attends to.
         q_hi = start + jnp.minimum(blk_start + TB, ext) - 1
         n_strips = pl.cdiv(jnp.minimum(q_hi + 1, seq_len), S)
+        w = window_ref[0]
+        # Lowest kv position any q row here can see (q row 0 is position
+        # start + blk_start; window keeps kv_pos > q_pos - w).
+        lo = jnp.maximum(start + blk_start - w + 1, 0)
+        first = lo // S
 
         def strip_dmas(slot, i):
             return _strip_dmas(
@@ -252,7 +271,7 @@ def _extend_kernel(
                 slot=slot, strip=i, kb=kb, ps=ps, pmax=pmax, row_off=b * pmax,
             )
 
-        for d in strip_dmas(0, 0):
+        for d in strip_dmas(0, first):
             d.start()
 
         q = q_ref[0].reshape(Hkv, TB * G, Dq).astype(jnp.float32)
@@ -260,30 +279,31 @@ def _extend_kernel(
         row_tok = jax.lax.broadcasted_iota(jnp.int32, (1, TB * G, 1), 1) // G
         q_pos = start + blk_start + row_tok  # [1, TB*G, 1]
 
-        def body(i, carry):
+        def body(t, carry):
             m, l, acc = carry
-            slot = i % 2
+            i = first + t
+            slot = t % 2
 
             @pl.when(i + 1 < n_strips)
             def _():
-                for d in strip_dmas((i + 1) % 2, i + 1):
+                for d in strip_dmas((t + 1) % 2, i + 1):
                     d.start()
 
             for d in strip_dmas(slot, i):
                 d.wait()
             strip = kv_scratch[slot].astype(jnp.float32)  # [Hkv, S, 2D]
             kv_pos = i * S + jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
-            mask = (kv_pos <= q_pos) & (kv_pos < seq_len)
+            mask = (kv_pos <= q_pos) & (kv_pos < seq_len) & (kv_pos > q_pos - w)
             return _attn_strip(
                 q, strip, scale=scale, valid_mask=mask,
-                m=m, l=l, acc=acc, fold=fold, D=D,
+                m=m, l=l, acc=acc, fold=fold, D=D, softcap=softcap,
             )
 
         Dacc = 2 * D if fold else D
         m0 = jnp.full((Hkv, TB * G, 1), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((Hkv, TB * G, 1), jnp.float32)
         acc0 = jnp.zeros((Hkv, TB * G, Dacc), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n_strips, body, (m0, l0, acc0))
+        m, l, acc = jax.lax.fori_loop(0, n_strips - first, body, (m0, l0, acc0))
 
         out = acc / jnp.maximum(l, 1e-30)
         o_ref[0] = out.reshape(Hkv, TB, G, Dacc).astype(o_ref.dtype)
@@ -321,7 +341,7 @@ def _fold_q(q: jax.Array, fold: bool) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "q_block", "interpret")
+    jax.jit, static_argnames=("scale", "q_block", "interpret", "softcap")
 )
 def paged_attention_extend(
     q: jax.Array,            # [B, T, Hq, D]
@@ -331,6 +351,8 @@ def paged_attention_extend(
     extend_lens: jax.Array,  # [B] int32 (new tokens this step)
     *,
     scale: float,
+    window=None,             # traced int32 scalar sliding window, or None
+    softcap: float = 0.0,
     q_block: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
@@ -359,12 +381,17 @@ def paged_attention_extend(
     # whole tiles (see kernel comment).
     qh = q.reshape(B, Tp, num_kv_heads, G, Dq).transpose(0, 2, 1, 3, 4)
 
+    window_arr = (
+        jnp.full((1,), 1 << 30, jnp.int32)
+        if window is None
+        else jnp.asarray(window, jnp.int32).reshape(1)
+    )
     kernel = functools.partial(
         _extend_kernel, scale=scale, pmax=pmax, kb=kb,
-        num_kv_heads=num_kv_heads, head_dim=D, fold=fold,
+        num_kv_heads=num_kv_heads, head_dim=D, fold=fold, softcap=softcap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, num_blocks),
         in_specs=[
             pl.BlockSpec(
@@ -385,13 +412,15 @@ def paged_attention_extend(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
         interpret=interpret,
-    )(page_table.reshape(-1), seq_lens, extend_lens, qh, kvf)
+    )(page_table.reshape(-1), seq_lens, extend_lens, window_arr, qh, kvf)
     if fold:
         out = out[..., D:]  # V half of the folded accumulator
     return out.transpose(0, 2, 1, 3, 4).reshape(B, Tp, Hq, D)[:, :T]
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "softcap")
+)
 def paged_attention_decode(
     q: jax.Array,          # [B, Hq, D]
     kv_pages: jax.Array,   # [Hkv, P, ps, 2, D]
@@ -399,6 +428,8 @@ def paged_attention_decode(
     seq_lens: jax.Array,   # [B] int32
     *,
     scale: float,
+    window=None,           # traced int32 scalar sliding window, or None
+    softcap: float = 0.0,
     interpret: bool = False,
 ) -> jax.Array:
     """Single-token-per-sequence paged attention. Returns [B, Hq, D]."""
@@ -410,13 +441,18 @@ def paged_attention_decode(
     pmax = page_table.shape[1]
     kb = min(_strip_pages(ps, kv_pages.dtype), pmax)
     q = _fold_q(q, fold)
+    window_arr = (
+        jnp.full((1,), 1 << 30, jnp.int32)
+        if window is None
+        else jnp.asarray(window, jnp.int32).reshape(1)
+    )
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, pmax=pmax, kb=kb,
-        num_kv_heads=num_kv_heads, head_dim=D, fold=fold,
+        num_kv_heads=num_kv_heads, head_dim=D, fold=fold, softcap=softcap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, Hq, Dq), lambda b, *_: (b, 0, 0)),
@@ -433,7 +469,7 @@ def paged_attention_decode(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, Dq), q.dtype),
         interpret=interpret,
-    )(page_table.reshape(-1), seq_lens, q, kvf)
+    )(page_table.reshape(-1), seq_lens, window_arr, q, kvf)
     if fold:
         out = out[..., D:]
     return out

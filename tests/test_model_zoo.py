@@ -118,3 +118,47 @@ def test_qwen3_moe_golden(tmp_path_factory):
     torch.manual_seed(5)
     m = Qwen3MoeForCausalLM(cfg)
     _golden_check(m, _save(m, tmp_path_factory, "tiny_qwen3moe"))
+
+
+def test_gemma2_golden(tmp_path_factory):
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    cfg = Gemma2Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=512,
+        sliding_window=8, query_pre_attn_scalar=16,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+    )
+    torch.manual_seed(6)
+    m = Gemma2ForCausalLM(cfg)
+    # long prompt so the sliding window actually truncates attention
+    global PROMPTS
+    old = PROMPTS
+    PROMPTS = [list(range(2, 30)), [1, 5, 9]]
+    try:
+        _golden_check(m, _save(m, tmp_path_factory, "tiny_gemma2"))
+    finally:
+        PROMPTS = old
+
+
+def test_gemma3_golden(tmp_path_factory):
+    from transformers import Gemma3TextConfig, Gemma3ForCausalLM
+
+    cfg = Gemma3TextConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=512,
+        sliding_window=8, sliding_window_pattern=3,
+        query_pre_attn_scalar=16,
+        rope_theta=1_000_000.0, rope_local_base_freq=10_000.0,
+    )
+    torch.manual_seed(7)
+    m = Gemma3ForCausalLM(cfg)
+    global PROMPTS
+    old = PROMPTS
+    PROMPTS = [list(range(2, 30)), [1, 5, 9]]
+    try:
+        _golden_check(m, _save(m, tmp_path_factory, "tiny_gemma3"))
+    finally:
+        PROMPTS = old

@@ -135,3 +135,101 @@ def test_decode_kernel_single_token_seq():
     )
     ref = xla_reference(q, kv, page_table, seq_lens, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def xla_windowed_reference(q, kv, page_table, seq_lens, scale, window,
+                           softcap=0.0):
+    """Decode reference with sliding window + optional logit softcap."""
+    B, Hq, D = q.shape
+    Hkv, P, ps = kv.shape[:3]
+    G = Hq // Hkv
+    S = page_table.shape[1] * ps
+    gathered = kv[:, page_table]
+    k = gathered[..., 0, :].reshape(Hkv, B, S, D)
+    v = gathered[..., 1, :].reshape(Hkv, B, S, D)
+    qg = q.reshape(B, Hkv, G, D)
+    s = jnp.einsum("bkgd,kbsd->bkgs", qg, k) * scale
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
+    kv_pos = jnp.arange(S)[None, None, None, :]
+    sl = seq_lens[:, None, None, None]
+    mask = (kv_pos < sl) & (kv_pos >= sl - window)
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bkgs,kbsd->bkgd", p, v)
+    return o.reshape(B, Hq, D)
+
+
+@pytest.mark.parametrize("window", [1, 7, 40, 1 << 30])
+def test_decode_kernel_sliding_window(window):
+    # multi-strip so windowing skips whole strips (kb=8 @ ps=16 -> S=128)
+    q, kv, page_table, seq_lens = make_case(3, 8, 4, 64, 16, 16, seed=7)
+    seq_lens = jnp.asarray([250, 129, 64], jnp.int32)
+    scale = 0.125
+    out = paged_attention_decode(
+        q, kv, page_table, seq_lens, scale=scale,
+        window=jnp.asarray(window, jnp.int32), interpret=True,
+    )
+    ref = xla_windowed_reference(q, kv, page_table, seq_lens, scale, window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_kernel_softcap():
+    q, kv, page_table, seq_lens = make_case(2, 8, 4, 64, 16, 4, seed=8)
+    scale = 0.125
+    out = paged_attention_decode(
+        q, kv, page_table, seq_lens, scale=scale, softcap=50.0,
+        interpret=True,
+    )
+    ref = xla_windowed_reference(
+        q, kv, page_table, seq_lens, scale, 1 << 30, softcap=50.0
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("window", [1, 5, 30, 300, 1 << 30])
+def test_extend_kernel_sliding_window(window):
+    rng = np.random.RandomState(9)
+    B, Hq, Hkv, D, ps, pmax, T = 2, 8, 4, 64, 16, 16, 16
+    P = B * pmax + 1
+    kv = jnp.asarray(rng.randn(Hkv, P, ps, 2, D).astype(np.float32))
+    page_table = np.zeros((B, pmax), np.int32)
+    for b in range(B):
+        page_table[b] = np.arange(1 + b * pmax, 1 + (b + 1) * pmax)
+    page_table = jnp.asarray(page_table)
+    extend_lens = jnp.asarray([T, 5], jnp.int32)
+    seq_lens = jnp.asarray([220, 150], jnp.int32)
+    q = jnp.asarray(rng.randn(B, T, Hq, D).astype(np.float32))
+    scale = 0.125
+
+    out = paged_attention_extend(
+        q, kv, page_table, seq_lens, extend_lens, scale=scale,
+        window=jnp.asarray(window, jnp.int32), q_block=8, interpret=True,
+    )
+    # dense reference with window mask
+    S = pmax * ps
+    gathered = kv[:, page_table]
+    k = gathered[..., 0, :].reshape(Hkv, B, S, D)
+    v = gathered[..., 1, :].reshape(Hkv, B, S, D)
+    G = Hq // Hkv
+    qg = q.reshape(B, T, Hkv, G, D)
+    s = jnp.einsum("btkgd,kbsd->bktgs", qg, k) * scale
+    kv_pos = jnp.arange(S)[None, None, None, None, :]
+    start = (seq_lens - extend_lens)[:, None, None, None, None]
+    q_pos = start + jnp.arange(T)[None, None, :, None, None]
+    mask = (
+        (kv_pos <= q_pos)
+        & (kv_pos < seq_lens[:, None, None, None, None])
+        & (kv_pos > q_pos - window)
+    )
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bktgs,kbsd->btkgd", p, v).reshape(B, T, Hq, D)
+    for b in range(2):
+        e = int(extend_lens[b])
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :e], np.asarray(ref)[b, :e],
+            rtol=2e-5, atol=2e-5, err_msg=f"row {b} window={window}",
+        )
