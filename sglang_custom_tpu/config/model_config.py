@@ -57,6 +57,22 @@ class ModelConfig:
     norm_zero_centered: bool = False
     # scale embeddings by sqrt(hidden_size) (gemma)
     scale_embedding: bool = False
+    # --- MLA (DeepSeek V2/V3 latent attention) ---
+    kv_lora_rank: int = 0              # 0 = standard MHA/GQA
+    q_lora_rank: int = 0               # 0 = direct q projection
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    # --- DeepSeek MoE routing ---
+    n_shared_experts: int = 0
+    first_k_dense_replace: int = 0
+    routed_scaling_factor: float = 1.0
+    topk_method: str = "greedy"        # greedy | group_limited_greedy | noaux_tc
+    n_group: int = 1
+    topk_group: int = 1
+    scoring_func: str = "softmax"      # softmax | sigmoid
+    # rope pair layout: interleaved (deepseek-v2 complex pairs) vs half-split
+    rope_interleaved: bool = False
 
     @property
     def q_per_kv(self) -> int:
@@ -64,6 +80,18 @@ class ModelConfig:
 
     # A window value meaning "no window" that is safe in int32 position math.
     FULL_WINDOW = 1 << 30
+
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank > 0
+
+    @property
+    def kv_dim_per_token(self) -> int:
+        """KV-cache features stored per token (the MLA memory win: one
+        latent vector instead of 2 * heads * head_dim)."""
+        if self.is_mla:
+            return self.kv_lora_rank + self.qk_rope_head_dim
+        return 2 * self.num_kv_heads * self.head_dim
 
     def layer_windows(self) -> list:
         """Per-layer attention window (FULL_WINDOW = global attention).
@@ -106,8 +134,15 @@ class ModelConfig:
             text.setdefault("vocab_size", cfg.get("vocab_size", 262208))
             return ModelConfig.from_hf_dict(text)
         is_gemma = arch.startswith("Gemma")
+        is_deepseek = arch.startswith("Deepseek")
         n_heads = cfg["num_attention_heads"]
         head_dim = cfg.get("head_dim") or cfg["hidden_size"] // n_heads
+        if is_deepseek and cfg.get("kv_lora_rank"):
+            # MLA: the attention head dim is qk_nope + qk_rope; the KV cache
+            # holds one latent vector per token (num_kv_heads is moot).
+            head_dim = (cfg.get("qk_nope_head_dim") or 0) + (
+                cfg.get("qk_rope_head_dim") or 0
+            )
         rope_scaling = cfg.get("rope_scaling")
         quantization = None
         group_size = 128
@@ -132,7 +167,11 @@ class ModelConfig:
             max_position_embeddings=cfg.get("max_position_embeddings", 4096),
             tie_word_embeddings=cfg.get("tie_word_embeddings", is_gemma),
             rope_scaling=rope_scaling,
-            num_experts=cfg.get("num_experts", cfg.get("num_local_experts", 0)) or 0,
+            num_experts=cfg.get(
+                "num_experts",
+                cfg.get("num_local_experts", cfg.get("n_routed_experts", 0)),
+            )
+            or 0,
             num_experts_per_tok=cfg.get("num_experts_per_tok", 0) or 0,
             moe_intermediate_size=cfg.get("moe_intermediate_size", 0) or 0,
             attention_bias=cfg.get("attention_bias", False)
@@ -163,6 +202,23 @@ class ModelConfig:
             rope_local_theta=cfg.get("rope_local_base_freq") or 0.0,
             norm_zero_centered=is_gemma,
             scale_embedding=is_gemma,
+            kv_lora_rank=cfg.get("kv_lora_rank") or 0,
+            q_lora_rank=cfg.get("q_lora_rank") or 0,
+            qk_nope_head_dim=cfg.get("qk_nope_head_dim") or 0,
+            qk_rope_head_dim=cfg.get("qk_rope_head_dim") or 0,
+            v_head_dim=cfg.get("v_head_dim") or 0,
+            n_shared_experts=cfg.get("n_shared_experts") or 0,
+            first_k_dense_replace=cfg.get("first_k_dense_replace") or 0,
+            routed_scaling_factor=cfg.get("routed_scaling_factor") or 1.0,
+            topk_method=cfg.get("topk_method")
+            or ("noaux_tc" if arch.startswith("DeepseekV3") else "greedy"),
+            n_group=cfg.get("n_group") or 1,
+            topk_group=cfg.get("topk_group") or 1,
+            scoring_func=cfg.get("scoring_func")
+            or ("sigmoid" if arch.startswith("DeepseekV3") else "softmax"),
+            # v2's complex-pair rope is always interleaved; v3 ships a
+            # rope_interleave flag (default True)
+            rope_interleaved=bool(cfg.get("rope_interleave", is_deepseek)),
         )
 
     @staticmethod

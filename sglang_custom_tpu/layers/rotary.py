@@ -60,6 +60,20 @@ def rope_cos_sin(positions: jnp.ndarray, inv_freq: jnp.ndarray):
     return jnp.cos(angles), jnp.sin(angles)
 
 
+def apply_rope_interleaved(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """Adjacent-pair (complex) rope convention — deepseek-v2's
+    apply_rotary_emb uses torch complex pairs instead of the llama
+    half-split. x: [..., heads, head_dim]; cos/sin [..., head_dim/2]."""
+    x1 = x[..., 0::2].astype(jnp.float32)
+    x2 = x[..., 1::2].astype(jnp.float32)
+    c = cos[..., None, :]
+    s = sin[..., None, :]
+    out = jnp.stack([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """HF half-split convention. x: [..., heads, head_dim]; cos/sin broadcast
     over the heads axis ([..., head_dim/2])."""

@@ -36,11 +36,22 @@ from sglang_custom_tpu.parallel.mesh import MeshContext, TENSOR_AXIS
 
 
 def kv_cache_shape(cfg: ModelConfig, num_pages: int, page_size: int):
+    if cfg.is_mla:
+        # MLA latent pool (reference: MLATokenToKVPool memory_pool.py:769):
+        # one (kv_lora_rank + rope_dim) latent per token, stored as a
+        # "1-head" pool with the latent halved across the K/V axis so the
+        # page layout stays uniform with MHA.
+        feat = cfg.kv_dim_per_token
+        assert feat % 2 == 0, f"MLA latent dim {feat} must be even"
+        return (cfg.num_layers, 1, num_pages, page_size, 2, feat // 2)
     return (cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, 2, cfg.head_dim)
 
 
 def kv_cache_sharding(mesh_ctx: MeshContext, num_kv_heads: int):
-    """Shard the kv-head axis over ``tensor`` when divisible, else replicate."""
+    """Shard the kv-head axis over ``tensor`` when divisible, else replicate.
+    (MLA pools pass num_kv_heads=1 and stay replicated — every TP shard
+    attends over the full latent, like the reference's dp-attention MLA
+    layout, layers/dp_attention.py.)"""
     if num_kv_heads % mesh_ctx.tp_size == 0 and mesh_ctx.tp_size > 1:
         return mesh_ctx.sharding(None, TENSOR_AXIS, None, None, None, None)
     return mesh_ctx.replicated
@@ -74,7 +85,9 @@ class KVCachePool:
         mesh_ctx: MeshContext,
     ) -> "KVCachePool":
         shape = kv_cache_shape(cfg, num_pages, page_size)
-        sharding = kv_cache_sharding(mesh_ctx, cfg.num_kv_heads)
+        sharding = kv_cache_sharding(
+            mesh_ctx, 1 if cfg.is_mla else cfg.num_kv_heads
+        )
         kv = jax.device_put(jnp.zeros(shape, dtype=dtype), sharding)
         return KVCachePool(kv=kv, page_size=page_size)
 

@@ -144,11 +144,11 @@ class ModelRunner:
         page_bytes = (
             cfg.num_layers
             * self.page_size
-            * 2
-            * cfg.num_kv_heads
-            * cfg.head_dim
+            * cfg.kv_dim_per_token
             * jnp.dtype(self.kv_dtype).itemsize
-        ) // max(self.mesh_ctx.tp_size, 1)
+        )
+        if not cfg.is_mla:
+            page_bytes //= max(self.mesh_ctx.tp_size, 1)
         try:
             stats = jax.local_devices()[0].memory_stats()
             limit = stats["bytes_limit"]

@@ -84,6 +84,10 @@ def _apply_quantization(staging, shardings, method: str, group_size: int,
                         mesh_ctx: MeshContext):
     """Replace quantizable layer leaves with quantized dicts (in both the
     staging tree and the sharding tree)."""
+    if "layers" not in staging:
+        logger.warning("load-time quantization unsupported for this "
+                       "architecture's layout; serving unquantized")
+        return staging, shardings
     layers = staging["layers"]
     for name in list(layers.keys()):
         if name in QUANTIZABLE:

@@ -16,7 +16,7 @@ from __future__ import annotations
 import types
 from typing import Dict
 
-from sglang_custom_tpu.models import gemma, llama, mixtral
+from sglang_custom_tpu.models import deepseek, gemma, llama, mixtral
 
 
 def _llama_like() -> types.ModuleType:
@@ -30,6 +30,8 @@ MODEL_REGISTRY: Dict[str, types.ModuleType] = {
     "Qwen3ForCausalLM": llama,
     "MixtralForCausalLM": mixtral,
     "Qwen3MoeForCausalLM": mixtral,
+    "DeepseekV2ForCausalLM": deepseek,
+    "DeepseekV3ForCausalLM": deepseek,
     "Gemma2ForCausalLM": gemma,
     "Gemma3ForCausalLM": gemma,
     # multimodal wrapper: ModelConfig.from_hf_dict rewrites it to the text

@@ -162,3 +162,47 @@ def test_gemma3_golden(tmp_path_factory):
         _golden_check(m, _save(m, tmp_path_factory, "tiny_gemma3"))
     finally:
         PROMPTS = old
+
+
+def test_deepseek_v2_golden(tmp_path_factory):
+    """MLA (q_lora path) + DeepSeek MoE with shared experts, greedy router."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    cfg = DeepseekV2Config(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=24,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, topk_method="greedy",
+        routed_scaling_factor=1.0, norm_topk_prob=False,
+        max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    torch.manual_seed(8)
+    m = DeepseekV2ForCausalLM(cfg)
+    _golden_check(m, _save(m, tmp_path_factory, "tiny_dsv2"))
+
+
+def test_deepseek_v3_golden(tmp_path_factory):
+    """MLA + noaux_tc sigmoid router with e_score_correction_bias."""
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    cfg = DeepseekV3Config(
+        vocab_size=512, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=24,
+        qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, n_group=2, topk_group=1,
+        routed_scaling_factor=2.5, norm_topk_prob=True,
+        max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    torch.manual_seed(9)
+    m = DeepseekV3ForCausalLM(cfg)
+    # bias non-zero so noaux_tc selection differs from plain scores
+    with torch.no_grad():
+        for layer in m.model.layers[1:]:
+            layer.mlp.gate.e_score_correction_bias.uniform_(-0.2, 0.2)
+    _golden_check(m, _save(m, tmp_path_factory, "tiny_dsv3"))
