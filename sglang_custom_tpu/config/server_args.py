@@ -72,6 +72,12 @@ class ServerArgs:
     reasoning_parser: Optional[str] = None  # e.g. deepseek-r1 | qwen3 | kimi
 
     # Speculative decoding
+    # LoRA (reference: --enable-lora / --max-loras-per-batch / --max-lora-rank)
+    enable_lora: bool = False
+    max_loras: int = 8                 # adapter pool slots
+    max_lora_rank: int = 16
+    lora_paths: Optional[str] = None   # comma-separated name=path preloads
+
     speculative_algorithm: Optional[str] = None  # None | eagle
     speculative_draft_model_path: Optional[str] = None
     speculative_num_steps: int = 3

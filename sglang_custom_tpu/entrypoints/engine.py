@@ -87,6 +87,25 @@ class Engine:
             self.tokenizer = AutoTokenizer.from_pretrained(
                 server_args.tokenizer_path
             )
+        self.lora_manager = None
+        if server_args.enable_lora:
+            import jax.numpy as _jnp
+
+            from sglang_custom_tpu.lora import LoRAManager
+
+            self.lora_manager = LoRAManager(
+                self.model_config,
+                max_adapters=server_args.max_loras,
+                max_rank=server_args.max_lora_rank,
+                dtype=dtype,
+            )
+            self.runner.lora_manager = self.lora_manager
+            for spec in (server_args.lora_paths or "").split(","):
+                if not spec:
+                    continue
+                name, _, p = spec.partition("=")
+                self.lora_manager.load(name, p or name)
+
         self._eos_ids = self._collect_eos_ids()
         self._grammar_backend = None
         self._sessions: Dict[str, List[int]] = {}
@@ -165,15 +184,24 @@ class Engine:
             )
         return self._grammar_backend
 
-    def _submit(self, input_ids, sampling_params, rid=None) -> List[ReqState]:
+    def _submit(
+        self, input_ids, sampling_params, rid=None, lora_path=None
+    ) -> List[ReqState]:
         from sglang_custom_tpu.constrained import Grammar
 
+        if lora_path is None or isinstance(lora_path, str):
+            lora_path = [lora_path] * len(input_ids)
         states = []
         for i, (ids, sp) in enumerate(zip(input_ids, sampling_params)):
             req = make_request(
                 ids, sp, self._eos_ids,
                 rid=rid if rid is not None and len(input_ids) == 1 else None,
             )
+            if lora_path[i]:
+                if self.lora_manager is None:
+                    raise ValueError("lora_path given but --enable-lora is off")
+                req.lora_slot = self.lora_manager.slot_of(lora_path[i])
+                req.lora_scaling = float(self.lora_manager.scales[req.lora_slot])
             p = req.sampling_params
             if p.regex is not None or p.json_schema is not None:
                 compiled = self._get_grammar_backend().get(
@@ -190,13 +218,16 @@ class Engine:
         input_ids: Optional[Union[List[int], List[List[int]]]] = None,
         stream: bool = False,
         rid: Optional[str] = None,
+        lora_path: Optional[Union[str, List[Optional[str]]]] = None,
     ) -> Union[Dict[str, Any], List[Dict[str, Any]], Iterator[Dict[str, Any]]]:
         """Synchronous generation (reference: engine.py:138). With
         ``stream=True`` returns an iterator of chunk dicts (:204-214)."""
         input_ids, sampling_params, single = self._normalize_inputs(
             prompt, input_ids, sampling_params
         )
-        states = self._submit(input_ids, sampling_params, rid=rid)
+        states = self._submit(
+            input_ids, sampling_params, rid=rid, lora_path=lora_path
+        )
         if stream:
             return self._stream_outputs(states)
         outs = [self._collect_final(s) for s in states]
@@ -243,6 +274,7 @@ class Engine:
         input_ids: Optional[Union[List[int], List[List[int]]]] = None,
         stream: bool = False,
         rid: Optional[str] = None,
+        lora_path: Optional[Union[str, List[Optional[str]]]] = None,
     ):
         """Asyncio front (reference: engine.py:219 async_generate). Returns
         an awaitable dict, or an async iterator when stream=True."""
@@ -251,7 +283,9 @@ class Engine:
         input_ids, sampling_params, single = self._normalize_inputs(
             prompt, input_ids, sampling_params
         )
-        states = self._submit(input_ids, sampling_params, rid=rid)
+        states = self._submit(
+            input_ids, sampling_params, rid=rid, lora_path=lora_path
+        )
 
         if stream:
             async def agen() -> AsyncIterator[Dict[str, Any]]:
@@ -323,6 +357,24 @@ class Engine:
 
     def abort_request(self, rid: str) -> None:
         self.scheduler_thread.abort(rid)
+
+    # ---------------------------------------------------------------- LoRA
+
+    def load_lora_adapter(self, lora_name: str, lora_path: str) -> Dict[str, Any]:
+        """Dynamic adapter load (reference: /load_lora_adapter RPC)."""
+        if self.lora_manager is None:
+            return {"success": False, "message": "--enable-lora is off"}
+        try:
+            slot = self.lora_manager.load(lora_name, lora_path)
+            return {"success": True, "slot": slot}
+        except Exception as e:
+            return {"success": False, "message": str(e)}
+
+    def unload_lora_adapter(self, lora_name: str) -> Dict[str, Any]:
+        if self.lora_manager is None:
+            return {"success": False, "message": "--enable-lora is off"}
+        ok = self.lora_manager.unload(lora_name)
+        return {"success": ok}
 
     # ------------------------------------------------------------ sessions
 

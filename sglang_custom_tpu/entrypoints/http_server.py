@@ -56,6 +56,8 @@ class HttpServer:
         r.add_post("/continue_generation", self.continue_generation)
         r.add_post("/release_memory_occupation", self.release_memory)
         r.add_post("/resume_memory_occupation", self.resume_memory)
+        r.add_post("/load_lora_adapter", self.load_lora_adapter)
+        r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
 
     # ----------------------------------------------------------- basic
 
@@ -156,6 +158,22 @@ class HttpServer:
         self.engine.resume_memory_occupation()
         return web.Response(text="OK")
 
+    async def load_lora_adapter(self, request: web.Request) -> web.Response:
+        """reference: /load_lora_adapter (lora_manager dynamic load)"""
+        body = await request.json()
+        import asyncio
+
+        res = await asyncio.to_thread(
+            self.engine.load_lora_adapter,
+            body.get("lora_name", ""), body.get("lora_path", ""),
+        )
+        return web.json_response(res, status=200 if res.get("success") else 400)
+
+    async def unload_lora_adapter(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        res = self.engine.unload_lora_adapter(body.get("lora_name", ""))
+        return web.json_response(res, status=200 if res.get("success") else 400)
+
     # -------------------------------------------------------- /generate
 
     async def generate(self, request: web.Request) -> web.StreamResponse:
@@ -171,6 +189,7 @@ class HttpServer:
         sampling_params = obj.get("sampling_params") or {}
         stream = bool(obj.get("stream", False))
         rid = obj.get("rid")
+        lora_path = obj.get("lora_path")
         if text is None and input_ids is None:
             return web.json_response(
                 {"error": "one of `text` or `input_ids` is required"}, status=400
@@ -181,6 +200,7 @@ class HttpServer:
                 agen = await self.engine.async_generate(
                     prompt=text, input_ids=input_ids,
                     sampling_params=sampling_params, stream=True, rid=rid,
+                    lora_path=lora_path,
                 )
                 resp = web.StreamResponse(
                     headers={"Content-Type": "text/event-stream",
@@ -201,7 +221,7 @@ class HttpServer:
                 return resp
             out = await self.engine.async_generate(
                 prompt=text, input_ids=input_ids,
-                sampling_params=sampling_params, rid=rid,
+                sampling_params=sampling_params, rid=rid, lora_path=lora_path,
             )
             return web.json_response(out)
         except (ValueError, AssertionError) as e:

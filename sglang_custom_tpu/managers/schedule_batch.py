@@ -69,6 +69,10 @@ class Req:
         self.spec_slot: Optional[int] = None  # feature-pool slot
         self.spec_ok = False                  # prefilled through the spec path
 
+        # LoRA (lora/lora_manager.py): pool slot 0 = no adapter
+        self.lora_slot = 0
+        self.lora_scaling = 0.0
+
         # KV state
         self.page_list: List[int] = []   # pages backing fill_ids[:computed_len]
         self.cached_len = 0              # leading tokens whose pages the tree owns
@@ -180,6 +184,9 @@ class HostBatch:
     ilp_valid: Optional[np.ndarray] = None    # [B] i32 (#valid positions)
     # filled by the runner after the step when ilp_targets is set
     input_logprobs: Optional[np.ndarray] = None
+    # LoRA adapter routing (None when no request in the batch uses LoRA)
+    lora_ids: Optional[np.ndarray] = None    # [B] i32 pool slot
+    lora_scale: Optional[np.ndarray] = None  # [B] f32 alpha/r
 
     @property
     def batch_size(self) -> int:
@@ -251,9 +258,16 @@ def build_batch(
             ilp_targets[i, : len(tgts)] = tgts
             ilp_valid[i] = len(tgts)
 
+    lora_ids = lora_scale = None
+    if any(r.lora_slot for r in reqs):
+        lora_ids = np.asarray([r.lora_slot for r in reqs], np.int32)
+        lora_scale = np.asarray([r.lora_scaling for r in reqs], np.float32)
+
     return HostBatch(
         reqs=reqs,
         is_extend=is_extend,
+        lora_ids=lora_ids,
+        lora_scale=lora_scale,
         token_ids=token_ids,
         positions=positions,
         page_table=page_table,

@@ -104,7 +104,7 @@ class Scheduler:
             return []
         valid = None
         if self.spec is not None:
-            if batch.is_extend:
+            if batch.is_extend and batch.lora_ids is None:
                 tokens, logprobs = self.spec.prefill(batch)
             elif getattr(batch, "spec", False):
                 tokens, logprobs, valid = self.spec.decode(batch)
@@ -274,6 +274,7 @@ class Scheduler:
                 and r.seq_len + K <= ctx
                 and not r.sampling_params.needs_penalties
                 and r.grammar is None
+                and r.lora_slot == 0
                 for r in self.running_batch
             )
             if not ok:
@@ -316,6 +317,7 @@ class Scheduler:
             and r.seq_len + K1 <= ctx
             and not r.sampling_params.needs_penalties
             and r.grammar is None
+            and r.lora_slot == 0
             for r in self.running_batch
         )
         if not ok:

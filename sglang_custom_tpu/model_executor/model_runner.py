@@ -102,6 +102,8 @@ class ModelRunner:
         )
         self._step_counter = 0
         self._base_key = jax.random.PRNGKey(server_args.random_seed)
+        # set by the Engine when --enable-lora (lora/lora_manager.py)
+        self.lora_manager = None
 
     def _create_attn_backend(self):
         """Backend dispatch (reference: model_runner.py:1313): Pallas on TPU,
@@ -287,17 +289,44 @@ class ModelRunner:
         (kv, _, _, _), (toks, lps) = lax.scan(step_fn, init, jnp.arange(K))
         return kv, self._pack_out(toks.T, lps.T)
 
+    def _fwd(self, params, kv, meta, lora=None, lora_ids=None, lora_scale=None):
+        """Model forward, with the batched-LoRA args threaded through when
+        a batch carries adapters (lora/lora_manager.py)."""
+        if lora is None:
+            return self.model.forward(
+                params, self.cfg, meta, kv, self.attn_backend
+            )
+        return self.model.forward(
+            params, self.cfg, meta, kv, self.attn_backend,
+            lora=lora, lora_ids=lora_ids, lora_scale=lora_scale,
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _step_lora(
+        self, params, kv, meta: ForwardMeta, smeta: SamplingMeta,
+        lora, lora_ids, lora_scale, key,
+    ):
+        """Step with per-row LoRA adapters (reference: lora_manager.py
+        prepare_lora_batch + SGMV kernels)."""
+        hidden, kv = self._fwd(
+            params, kv, meta, lora, lora_ids, lora_scale
+        )
+        logits = self.model.compute_last_logits(params, hidden, meta, self.cfg)
+        tokens = sample(logits, smeta, key)
+        logprobs = compute_token_logprobs(logits, tokens)
+        return kv, tokens, logprobs
+
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _step_input_logprobs(
         self, params, kv, meta: ForwardMeta, smeta: SamplingMeta,
-        target_ids, key,
+        target_ids, key, lora=None, lora_ids=None, lora_scale=None,
     ):
         """Extend step that also returns teacher-forced logprobs of
         ``target_ids`` ([B, T]: the token *following* each extend position)
         — the input-logprob path behind choices/score
         (reference: logits_processor.py logprob extraction :423)."""
-        hidden, kv = self.model.forward(
-            params, self.cfg, meta, kv, self.attn_backend
+        hidden, kv = self._fwd(
+            params, kv, meta, lora, lora_ids, lora_scale
         )
         logits = self.model.compute_last_logits(params, hidden, meta, self.cfg)
         tokens = sample(logits, smeta, key)
@@ -320,13 +349,13 @@ class ModelRunner:
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _step_penalized(
         self, params, kv, meta: ForwardMeta, smeta: SamplingMeta,
-        pmeta: PenaltyMeta, key,
+        pmeta: PenaltyMeta, key, lora=None, lora_ids=None, lora_scale=None,
     ):
         """Step variant with logit penalties; compiled separately so the
         default path transfers no penalty state (reference: penaltylib is
         likewise only active when required)."""
-        hidden, kv = self.model.forward(
-            params, self.cfg, meta, kv, self.attn_backend
+        hidden, kv = self._fwd(
+            params, kv, meta, lora, lora_ids, lora_scale
         )
         logits = self.model.compute_last_logits(params, hidden, meta, self.cfg)
         logits = apply_penalties(logits, pmeta)
@@ -356,7 +385,11 @@ class ModelRunner:
         self._step_counter += 1
 
         # Hot paths: one packed upload, one packed download.
-        if batch.penalties is None and batch.ilp_targets is None:
+        if (
+            batch.penalties is None
+            and batch.ilp_targets is None
+            and batch.lora_ids is None
+        ):
             packed = self._pack_meta(batch, Bp, Tp, Pp, pad)
             if batch.burst > 1 and not batch.is_extend:
                 kv, out = self._burst_packed(
@@ -392,13 +425,29 @@ class ModelRunner:
         )
         key = jax.random.fold_in(self._base_key, self._step_counter)
 
+        lora = lora_ids = lora_scale = None
+        if batch.lora_ids is not None:
+            assert self.lora_manager is not None, "batch has LoRA but no manager"
+            lora = self.lora_manager.pools
+            lora_ids = jnp.asarray(pad(batch.lora_ids, (Bp,)))
+            lora_scale = jnp.asarray(pad(batch.lora_scale, (Bp,)))
+
         if batch.ilp_targets is not None and batch.penalties is None:
             targets = jnp.asarray(pad(batch.ilp_targets, (Bp, Tp)))
             kv, tokens, logprobs, ilp = self._step_input_logprobs(
-                self.params, self.kv_pool.kv, meta, smeta, targets, key
+                self.params, self.kv_pool.kv, meta, smeta, targets, key,
+                lora=lora, lora_ids=lora_ids, lora_scale=lora_scale,
             )
             self.kv_pool.kv = kv
             batch.input_logprobs = np.asarray(ilp)[:B]
+            return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
+
+        if lora is not None and batch.penalties is None:
+            kv, tokens, logprobs = self._step_lora(
+                self.params, self.kv_pool.kv, meta, smeta,
+                lora, lora_ids, lora_scale, key,
+            )
+            self.kv_pool.kv = kv
             return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
 
         if batch.penalties is not None:
@@ -428,7 +477,8 @@ class ModelRunner:
                 ),
             )
             kv, tokens, logprobs = self._step_penalized(
-                self.params, self.kv_pool.kv, meta, smeta, pmeta, key
+                self.params, self.kv_pool.kv, meta, smeta, pmeta, key,
+                lora=lora, lora_ids=lora_ids, lora_scale=lora_scale,
             )
         self.kv_pool.kv = kv
         return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]

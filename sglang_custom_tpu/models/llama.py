@@ -123,15 +123,36 @@ def mm(x: jax.Array, w) -> jax.Array:
     return jnp.matmul(x, w)
 
 
+def lora_mm(x, w, lora_l, target, ids, scale):
+    """Linear + batched per-row LoRA delta (the bgmv form of the
+    reference's SGMV kernels, srt/lora/triton_ops/): gather each row's
+    adapter by slot id from the stacked pool, then two small batched
+    matmuls. Slot 0 is all-zero, so base requests are exact no-ops."""
+    out = mm(x, w)
+    if lora_l is None or target not in lora_l:
+        return out
+    A = lora_l[target]["A"][ids]   # [B, in, r]
+    Bm = lora_l[target]["B"][ids]  # [B, r, out]
+    xa = jnp.einsum("bti,bir->btr", x, A)
+    delta = jnp.einsum("btr,bro->bto", xa, Bm)
+    return out + (delta * scale[:, None, None]).astype(out.dtype)
+
+
 def forward(
     params: dict,
     cfg: ModelConfig,
     meta: ForwardMeta,
     kv_cache: jax.Array,  # [L, Hkv, P, ps, 2, D]
     attn_backend: Callable,
+    lora=None,
+    lora_ids=None,
+    lora_scale=None,
 ):
     """Returns (hidden [B, T, H] post final-norm, updated kv_cache)."""
-    feats, kv_cache = forward_features(params, cfg, meta, kv_cache, attn_backend)
+    feats, kv_cache = forward_features(
+        params, cfg, meta, kv_cache, attn_backend,
+        lora=lora, lora_ids=lora_ids, lora_scale=lora_scale,
+    )
     return rms_norm(feats, params["final_norm"], cfg.rms_norm_eps), kv_cache
 
 
@@ -141,6 +162,9 @@ def forward_features(
     meta: ForwardMeta,
     kv_cache: jax.Array,
     attn_backend: Callable,
+    lora=None,        # {target: {"A": [L, S, in, r], "B": [L, S, r, out]}}
+    lora_ids=None,    # [B] int32 adapter slot per row (0 = none)
+    lora_scale=None,  # [B] f32 alpha/r per row
 ):
     """Decoder stack WITHOUT the final norm. The pre-norm hidden is the
     EAGLE "feature" sequence (reference: eagle_worker.py captures hidden
@@ -156,11 +180,14 @@ def forward_features(
     cos, sin = rope_cos_sin(meta.positions, inv_freq)  # [B, T, D/2]
 
     def layer_fn(x, xs):
-        lp, kv_l = xs
+        if lora is not None:
+            lp, kv_l, ll = xs
+        else:
+            (lp, kv_l), ll = xs, None
         h = rms_norm(x, lp["input_norm"], eps)
-        q = mm(h, lp["q_proj"])
-        k = mm(h, lp["k_proj"])
-        v = mm(h, lp["v_proj"])
+        q = lora_mm(h, lp["q_proj"], ll, "q_proj", lora_ids, lora_scale)
+        k = lora_mm(h, lp["k_proj"], ll, "k_proj", lora_ids, lora_scale)
+        v = lora_mm(h, lp["v_proj"], ll, "v_proj", lora_ids, lora_scale)
         if "q_bias" in lp:
             q = q + lp["q_bias"]
             k = k + lp["k_bias"]
@@ -176,15 +203,24 @@ def forward_features(
         k = apply_rope(k, cos, sin)
 
         attn_out, kv_l = attn_backend(q, k, v, kv_l, meta, scale)
-        x = x + mm(attn_out.reshape(B, T, Hq * D), lp["o_proj"])
+        x = x + lora_mm(
+            attn_out.reshape(B, T, Hq * D), lp["o_proj"], ll, "o_proj",
+            lora_ids, lora_scale,
+        )
 
         h = rms_norm(x, lp["post_norm"], eps)
-        gate = mm(h, lp["gate_proj"])
-        up = mm(h, lp["up_proj"])
-        x = x + mm(jax.nn.silu(gate) * up, lp["down_proj"])
+        gate = lora_mm(h, lp["gate_proj"], ll, "gate_proj", lora_ids, lora_scale)
+        up = lora_mm(h, lp["up_proj"], ll, "up_proj", lora_ids, lora_scale)
+        x = x + lora_mm(
+            jax.nn.silu(gate) * up, lp["down_proj"], ll, "down_proj",
+            lora_ids, lora_scale,
+        )
         return x, kv_l
 
-    x, new_kv = lax.scan(layer_fn, x, (params["layers"], kv_cache))
+    xs = (params["layers"], kv_cache)
+    if lora is not None:
+        xs = xs + (lora,)
+    x, new_kv = lax.scan(layer_fn, x, xs)
     return x, new_kv
 
 
