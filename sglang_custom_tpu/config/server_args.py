@@ -34,6 +34,11 @@ class ServerArgs:
     max_prefill_tokens: int = 8192     # token budget per prefill batch
     chunked_prefill_size: int = 4096   # -1 disables chunking
     disable_radix_cache: bool = False
+    # Hierarchical (host-offload) KV cache (reference: --enable-hierarchical-cache,
+    # hicache_ratio; mem_cache/hiradix_cache.py)
+    enable_hierarchical_cache: bool = False
+    hicache_ratio: float = 2.0         # host tier size as multiple of device pool
+    hicache_host_pages: Optional[int] = None  # absolute override
 
     # Scheduling
     schedule_policy: str = "lpm"       # lpm | fcfs | lof | random

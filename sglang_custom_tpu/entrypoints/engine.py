@@ -475,6 +475,9 @@ class Engine:
             self.model_config, self.kv_shape[2], self.server_args.page_size,
             self.runner.kv_dtype, self.mesh_ctx,
         )
+        if hasattr(self.scheduler.tree_cache, "kv_pool"):
+            # hierarchical cache transfers against the live pool object
+            self.scheduler.tree_cache.kv_pool = self.runner.kv_pool
         self._released = False
         self.scheduler_thread.resume()
 

@@ -49,8 +49,23 @@ class Scheduler:
         self.page_size = server_args.page_size
 
         self.allocator = PageAllocator(model_runner.num_pages, self.page_size)
-        cache_cls = ChunkCache if server_args.disable_radix_cache else RadixCache
-        self.tree_cache = cache_cls(self.page_size, self.allocator.free)
+        if server_args.disable_radix_cache:
+            self.tree_cache = ChunkCache(self.page_size, self.allocator.free)
+        elif server_args.enable_hierarchical_cache:
+            from sglang_custom_tpu.mem_cache.hiradix_cache import HiRadixCache
+
+            host_pages = server_args.hicache_host_pages or int(
+                model_runner.num_pages * server_args.hicache_ratio
+            )
+            self.tree_cache = HiRadixCache(
+                self.page_size,
+                self.allocator.free,
+                self.allocator.alloc,
+                model_runner.kv_pool,
+                host_pages,
+            )
+        else:
+            self.tree_cache = RadixCache(self.page_size, self.allocator.free)
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
 
         self.waiting_queue: List[Req] = []

@@ -121,9 +121,12 @@ class RadixCache:
             child = node.children.get(self._chunk(tokens, pos))
             if child is None:
                 break
-            # Count how many whole pages of this edge match.
+            # Count how many whole pages of this edge match (page count
+            # derived from the key: host-offloaded nodes have no device
+            # pages but still match — mem_cache/hiradix_cache.py).
+            edge_pages = len(child.key) // self.page_size
             n_match = 0
-            for i in range(len(child.pages)):
+            for i in range(edge_pages):
                 lo = pos + i * self.page_size
                 if lo + self.page_size > limit:
                     break
@@ -135,7 +138,7 @@ class RadixCache:
                     break
             if n_match == 0:
                 break
-            if n_match < len(child.pages):
+            if n_match < edge_pages:
                 child = self._split_node(child, n_match)
                 pages.extend(child.pages)
                 pos += n_match * self.page_size
@@ -172,8 +175,9 @@ class RadixCache:
             child = node.children.get(self._chunk(tokens, pos))
             if child is None:
                 break
+            edge_pages = len(child.key) // self.page_size
             n_match = 0
-            for i in range(len(child.pages)):
+            for i in range(edge_pages):
                 lo = pos + i * self.page_size
                 if lo + self.page_size > limit:
                     break
@@ -185,7 +189,7 @@ class RadixCache:
                     break
             if n_match == 0:
                 break
-            if n_match < len(child.pages):
+            if n_match < edge_pages:
                 child = self._split_node(child, n_match)
             tree_pages.extend(child.pages)
             pos += n_match * self.page_size
