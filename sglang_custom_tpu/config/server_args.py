@@ -77,6 +77,11 @@ class ServerArgs:
     reasoning_parser: Optional[str] = None  # e.g. deepseek-r1 | qwen3 | kimi
 
     # Speculative decoding
+    # PD disaggregation (reference: --disaggregation-mode prefill|decode,
+    # srt/disaggregation/; here KV rides TCP over DCN instead of RDMA)
+    disaggregation_mode: str = "none"  # none | prefill | decode
+    disaggregation_kv_port: int = 0    # decode-side KV listener (0 = ephemeral)
+
     # LoRA (reference: --enable-lora / --max-loras-per-batch / --max-lora-rank)
     enable_lora: bool = False
     max_loras: int = 8                 # adapter pool slots

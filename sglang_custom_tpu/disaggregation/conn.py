@@ -1,0 +1,176 @@
+"""Prefill/decode disaggregation: KV transfer connections.
+
+Analog of the reference's PD transfer stack (reference:
+srt/disaggregation/base/conn.py:42-130 BaseKVManager/KVSender/KVReceiver +
+KVPoll states :34; fake loopback backend fake/conn.py; RDMA backends
+mooncake/nixl). TPU-first: there is no RDMA-verbs path — KV moves
+device->host as whole pages (the pool's natural transfer unit), then over
+the datacenter network (here: a length-prefixed TCP stream; the DCN analog
+of mooncake's transfer engine), then host->device on the decode side. The
+fake backend short-circuits the network for tests, exactly like the
+reference's fake/conn.py stubs RDMA.
+
+A transfer is keyed by ``bootstrap_room`` (reference: conn.py bootstrap
+metadata) — an id the router/LB assigns so the prefill and decode halves of
+one request find each other.
+"""
+
+from __future__ import annotations
+
+import enum
+import pickle
+import socket
+import struct
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from sglang_custom_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class KVPoll(enum.IntEnum):
+    """Transfer states (reference: disaggregation/base/conn.py:34)."""
+
+    BOOTSTRAPPING = 0
+    WAITING_FOR_INPUT = 1
+    TRANSFERRING = 2
+    SUCCESS = 3
+    FAILED = 4
+
+
+@dataclass
+class KVPayload:
+    """One request's prefilled KV + continuation metadata."""
+
+    input_ids: List[int]          # the prefilled prompt
+    first_token: int              # token sampled from the prefill logits
+    kv_pages: np.ndarray          # [n_pages, L, Hkv, ps, 2, D]
+    page_size: int
+    sampling_params: dict = field(default_factory=dict)
+    rid: Optional[str] = None
+
+
+class FakeKVTransfer:
+    """In-process loopback transfer (reference: disaggregation/fake/conn.py
+    — stubs the RDMA backend so PD scheduling is testable on one host)."""
+
+    def __init__(self):
+        self._store: Dict[str, KVPayload] = {}
+        self._status: Dict[str, KVPoll] = {}
+        self._cv = threading.Condition()
+
+    # sender side
+    def send(self, room: str, payload: KVPayload) -> None:
+        with self._cv:
+            self._store[room] = payload
+            self._status[room] = KVPoll.SUCCESS
+            self._cv.notify_all()
+
+    def poll(self, room: str) -> KVPoll:
+        with self._cv:
+            return self._status.get(room, KVPoll.WAITING_FOR_INPUT)
+
+    # receiver side
+    def recv(self, room: str, timeout: float = 30.0) -> KVPayload:
+        with self._cv:
+            ok = self._cv.wait_for(lambda: room in self._store, timeout)
+            if not ok:
+                self._status[room] = KVPoll.FAILED
+                raise TimeoutError(f"KV transfer for room {room} timed out")
+            return self._store.pop(room)
+
+
+def _send_msg(sock: socket.socket, obj) -> None:
+    blob = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    sock.sendall(struct.pack("!Q", len(blob)) + blob)
+
+
+def _recv_msg(sock: socket.socket):
+    hdr = _recv_exact(sock, 8)
+    (n,) = struct.unpack("!Q", hdr)
+    return pickle.loads(_recv_exact(sock, n))
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(min(n - len(buf), 1 << 20))
+        if not chunk:
+            raise ConnectionError("KV transfer peer closed")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+class TCPKVReceiver:
+    """Decode-side KV server: accepts pushed payloads keyed by room
+    (the bootstrap-server + receiver roles of conn.py:96,128 folded into
+    one listener — the decode side is the natural rendezvous point)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind((host, port))
+        self._sock.listen(64)
+        self.host, self.port = self._sock.getsockname()
+        self._store: Dict[str, KVPayload] = {}
+        self._cv = threading.Condition()
+        self._running = True
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self) -> None:
+        while self._running:
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._handle, args=(conn,), daemon=True
+            ).start()
+
+    def _handle(self, conn: socket.socket) -> None:
+        try:
+            with conn:
+                room, payload = _recv_msg(conn)
+                with self._cv:
+                    self._store[room] = payload
+                    self._cv.notify_all()
+                _send_msg(conn, "ok")
+        except Exception as e:  # a dropped sender must not kill the server
+            logger.warning("KV receive failed: %s", e)
+
+    def recv(self, room: str, timeout: float = 30.0) -> KVPayload:
+        with self._cv:
+            ok = self._cv.wait_for(lambda: room in self._store, timeout)
+            if not ok:
+                raise TimeoutError(f"KV transfer for room {room} timed out")
+            return self._store.pop(room)
+
+    def poll(self, room: str) -> KVPoll:
+        with self._cv:
+            return (
+                KVPoll.SUCCESS if room in self._store else KVPoll.TRANSFERRING
+            )
+
+    def close(self) -> None:
+        self._running = False
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+class TCPKVSender:
+    """Prefill-side pusher (reference: KVSender conn.py:55)."""
+
+    def __init__(self, host: str, port: int):
+        self.host, self.port = host, port
+
+    def send(self, room: str, payload: KVPayload) -> None:
+        with socket.create_connection((self.host, self.port), timeout=30) as s:
+            _send_msg(s, (room, payload))
+            assert _recv_msg(s) == "ok"

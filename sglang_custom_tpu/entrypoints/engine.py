@@ -128,6 +128,20 @@ class Engine:
             stream_interval=server_args.stream_interval,
         )
 
+        # PD disaggregation: the decode side hosts the KV rendezvous
+        # listener (disaggregation/conn.py TCPKVReceiver).
+        self.kv_receiver = None
+        if server_args.disaggregation_mode == "decode":
+            from sglang_custom_tpu.disaggregation.conn import TCPKVReceiver
+
+            self.kv_receiver = TCPKVReceiver(
+                host=server_args.host, port=server_args.disaggregation_kv_port
+            )
+            logger.info(
+                "PD decode: KV receiver on %s:%d",
+                self.kv_receiver.host, self.kv_receiver.port,
+            )
+
     def _collect_eos_ids(self) -> set:
         eos = set()
         if self.tokenizer is not None and self.tokenizer.eos_token_id is not None:
@@ -414,6 +428,104 @@ class Engine:
         self._sessions[session_id] = full + out["output_ids"]
         return out
 
+    # ------------------------------------------- PD disaggregation (§2.9)
+
+    def pd_prefill(
+        self,
+        input_ids: List[int],
+        room: str,
+        sender,
+        sampling_params: Optional[Dict] = None,
+    ) -> Dict[str, Any]:
+        """Prefill-server half of PD disaggregation (reference:
+        disaggregation/prefill.py:260 SchedulerDisaggregationPrefillMixin):
+        prefill the prompt, sample the first token, push the page-aligned
+        prompt KV + continuation metadata to the decode side."""
+        from sglang_custom_tpu.disaggregation.conn import KVPayload
+        from sglang_custom_tpu.mem_cache.memory_pool import gather_pages
+
+        sp = dict(sampling_params or {})
+        out = self.generate(
+            input_ids=input_ids,
+            sampling_params={**sp, "max_new_tokens": 1},
+        )
+        first_token = out["output_ids"][0]
+        # Extract the prompt's KV pages from the tree. Pause the scheduler
+        # so eviction can't race the device->host gather.
+        self.scheduler_thread.pause(drain=True)
+        try:
+            m = self.scheduler.tree_cache.match_prefix(list(input_ids))
+            kv = gather_pages(self.runner.kv_pool, m.pages)
+        finally:
+            self.scheduler_thread.resume()
+        sender.send(
+            room,
+            KVPayload(
+                input_ids=list(input_ids),
+                first_token=int(first_token),
+                kv_pages=kv,
+                page_size=self.server_args.page_size,
+                sampling_params=sp,
+                rid=out["meta_info"].get("id"),
+            ),
+        )
+        return {"room": room, "first_token": int(first_token),
+                "transferred_pages": int(kv.shape[0])}
+
+    def pd_generate(
+        self,
+        room: str,
+        receiver,
+        timeout: float = 30.0,
+    ) -> Dict[str, Any]:
+        """Decode-server half (reference: disaggregation/decode.py:658
+        SchedulerDisaggregationDecodeMixin): receive the prefilled KV,
+        graft it into the radix tree, and decode — the grafted prefix is a
+        cache hit, so only the prompt's partial tail page is recomputed."""
+        from sglang_custom_tpu.mem_cache.memory_pool import scatter_pages
+
+        payload = receiver.recv(room, timeout=timeout)
+        assert payload.page_size == self.server_args.page_size, (
+            "prefill/decode page_size mismatch"
+        )
+        n = payload.kv_pages.shape[0]
+        sched = self.scheduler
+        self.scheduler_thread.pause(drain=True)
+        try:
+            if n and not sched.server_args.disable_radix_cache:
+                sched._ensure_free_pages(n)
+                pages = sched.allocator.alloc(n)
+                if pages is not None:
+                    scatter_pages(self.runner.kv_pool, pages, payload.kv_pages)
+                    ps = self.server_args.page_size
+                    dup_len, _, _ = sched.tree_cache.insert(
+                        payload.input_ids[: n * ps], pages
+                    )
+                    # ranges already cached here: free our duplicates
+                    sched.allocator.free(pages[: dup_len // ps])
+                # else: no room — decode recomputes the prefill (slow path)
+        finally:
+            self.scheduler_thread.resume()
+
+        sp = dict(payload.sampling_params)
+        max_new = sp.get("max_new_tokens", 128)
+        full_ids = list(payload.input_ids) + [payload.first_token]
+        if max_new <= 1:
+            return {"text": "", "output_ids": [payload.first_token],
+                    "meta_info": {"transferred_pages": n}}
+        out = self.generate(
+            input_ids=full_ids,
+            sampling_params={**sp, "max_new_tokens": max_new - 1},
+            rid=payload.rid,
+        )
+        out["output_ids"] = [payload.first_token] + out["output_ids"]
+        if self.tokenizer is not None:
+            out["text"] = self.tokenizer.decode(
+                out["output_ids"], skip_special_tokens=True
+            )
+        out["meta_info"]["transferred_pages"] = n
+        return out
+
     # -------------------------------------------------------- weight RPCs
 
     def update_weights_from_disk(self, model_path: str) -> Dict[str, Any]:
@@ -498,6 +610,9 @@ class Engine:
                 "version": __import__("sglang_custom_tpu").__version__,
             }
         )
+        if self.kv_receiver is not None:
+            info["kv_host"] = self.kv_receiver.host
+            info["kv_port"] = self.kv_receiver.port
         return info
 
     def check_memory(self) -> None:

@@ -58,6 +58,8 @@ class HttpServer:
         r.add_post("/resume_memory_occupation", self.resume_memory)
         r.add_post("/load_lora_adapter", self.load_lora_adapter)
         r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
+        r.add_post("/pd_prefill", self.pd_prefill)
+        r.add_post("/pd_generate", self.pd_generate)
 
     # ----------------------------------------------------------- basic
 
@@ -157,6 +159,46 @@ class HttpServer:
     async def resume_memory(self, request: web.Request) -> web.Response:
         self.engine.resume_memory_occupation()
         return web.Response(text="OK")
+
+    async def pd_prefill(self, request: web.Request) -> web.Response:
+        """PD prefill half: prefill + push KV to the decode side
+        (reference: disaggregation/prefill.py mixin)."""
+        body = await request.json()
+        import asyncio
+
+        from sglang_custom_tpu.disaggregation.conn import TCPKVSender
+
+        sender = TCPKVSender(body["kv_host"], int(body["kv_port"]))
+        try:
+            res = await asyncio.to_thread(
+                self.engine.pd_prefill,
+                body["input_ids"], body["room"], sender,
+                body.get("sampling_params") or {},
+            )
+            return web.json_response(res)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=500)
+
+    async def pd_generate(self, request: web.Request) -> web.Response:
+        """PD decode half: receive KV, graft, decode
+        (reference: disaggregation/decode.py mixin)."""
+        body = await request.json()
+        import asyncio
+
+        if self.engine.kv_receiver is None:
+            return web.json_response(
+                {"error": "server not in decode disaggregation mode"},
+                status=400,
+            )
+        try:
+            res = await asyncio.to_thread(
+                self.engine.pd_generate, body["room"],
+                self.engine.kv_receiver,
+                float(body.get("timeout", 30.0)),
+            )
+            return web.json_response(res)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=500)
 
     async def load_lora_adapter(self, request: web.Request) -> web.Response:
         """reference: /load_lora_adapter (lora_manager dynamic load)"""

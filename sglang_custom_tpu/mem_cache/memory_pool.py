@@ -95,6 +95,59 @@ class KVCachePool:
         return self.kv.size * self.kv.dtype.itemsize
 
 
+def _pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+@jax.jit
+def _gather_pages_jit(kv, pages):
+    return kv[:, :, pages]
+
+
+def _scatter_pages_jit():
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def f(kv, pages, data):
+        return kv.at[:, :, pages].set(data)
+
+    return f
+
+
+_scatter_fn = None
+
+
+def gather_pages(pool: "KVCachePool", pages) -> np.ndarray:
+    """Fetch whole KV pages device->host as [n, L, Hkv, ps, 2, D]
+    (the transfer unit for HiCache offload and PD disaggregation —
+    reference: sgl-kernel csrc/kvcacheio/transfer.cu)."""
+    n = len(pages)
+    padded = list(pages) + [0] * (_pow2(n) - n)
+    out = _gather_pages_jit(pool.kv, jnp.asarray(padded, jnp.int32))
+    return np.moveaxis(np.asarray(out), 2, 0)[:n]
+
+
+def scatter_pages(pool: "KVCachePool", pages, data: np.ndarray) -> None:
+    """Upload host pages [n, ...] into the pool in place (donated scatter;
+    padding rows land in the garbage page 0)."""
+    global _scatter_fn
+    if _scatter_fn is None:
+        _scatter_fn = _scatter_pages_jit()
+    n = len(pages)
+    np2 = _pow2(n)
+    padded = list(pages) + [0] * (np2 - n)
+    if np2 != n:
+        pad = np.zeros((np2 - n,) + data.shape[1:], data.dtype)
+        data = np.concatenate([data, pad], axis=0)
+    dev = np.moveaxis(data, 0, 2)
+    pool.kv = _scatter_fn(
+        pool.kv, jnp.asarray(padded, jnp.int32), jnp.asarray(dev)
+    )
+
+
 class ReqSlotPool:
     """Host-side request-slot bookkeeping.
 
