@@ -73,6 +73,8 @@ class ModelConfig:
     scoring_func: str = "softmax"      # softmax | sigmoid
     # rope pair layout: interleaved (deepseek-v2 complex pairs) vs half-split
     rope_interleaved: bool = False
+    # fraction of head_dim that rotates (glm: 0.5); 1.0 = full rope
+    partial_rotary_factor: float = 1.0
 
     @property
     def q_per_kv(self) -> int:
@@ -218,7 +220,10 @@ class ModelConfig:
             or ("sigmoid" if arch.startswith("DeepseekV3") else "softmax"),
             # v2's complex-pair rope is always interleaved; v3 ships a
             # rope_interleave flag (default True)
-            rope_interleaved=bool(cfg.get("rope_interleave", is_deepseek)),
+            rope_interleaved=bool(
+                cfg.get("rope_interleave", is_deepseek or arch.startswith("Glm"))
+            ),
+            partial_rotary_factor=cfg.get("partial_rotary_factor") or 1.0,
         )
 
     @staticmethod

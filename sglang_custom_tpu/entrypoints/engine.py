@@ -526,6 +526,33 @@ class Engine:
         out["meta_info"]["transferred_pages"] = n
         return out
 
+    # ------------------------------------------------------------ profiling
+
+    def start_profile(self, output_dir: str = None) -> Dict[str, Any]:
+        """Start a jax.profiler trace (reference: Scheduler.start_profile
+        scheduler.py:2650 wrapping torch.profiler; on TPU the XLA/xprof
+        trace captures device + host timelines)."""
+        import jax
+
+        if getattr(self, "_profile_dir", None):
+            return {"success": False, "message": "profiler already running"}
+        out = output_dir or "/tmp/sglang_tpu_trace"
+        try:
+            jax.profiler.start_trace(out)
+        except Exception as e:
+            return {"success": False, "message": str(e)}
+        self._profile_dir = out
+        return {"success": True, "output_dir": out}
+
+    def stop_profile(self) -> Dict[str, Any]:
+        import jax
+
+        if not getattr(self, "_profile_dir", None):
+            return {"success": False, "message": "profiler not running"}
+        jax.profiler.stop_trace()
+        out, self._profile_dir = self._profile_dir, None
+        return {"success": True, "output_dir": out}
+
     # -------------------------------------------------------- weight RPCs
 
     def update_weights_from_disk(self, model_path: str) -> Dict[str, Any]:

@@ -60,6 +60,8 @@ class HttpServer:
         r.add_post("/unload_lora_adapter", self.unload_lora_adapter)
         r.add_post("/pd_prefill", self.pd_prefill)
         r.add_post("/pd_generate", self.pd_generate)
+        r.add_post("/start_profile", self.start_profile)
+        r.add_post("/stop_profile", self.stop_profile)
 
     # ----------------------------------------------------------- basic
 
@@ -159,6 +161,20 @@ class HttpServer:
     async def resume_memory(self, request: web.Request) -> web.Response:
         self.engine.resume_memory_occupation()
         return web.Response(text="OK")
+
+    async def start_profile(self, request: web.Request) -> web.Response:
+        """reference: http_server.py:414 /start_profile -> torch.profiler;
+        here jax.profiler traces (XLA + TPU) viewable in tensorboard/xprof."""
+        try:
+            body = await request.json()
+        except Exception:
+            body = {}
+        res = self.engine.start_profile(body.get("output_dir"))
+        return web.json_response(res, status=200 if res["success"] else 400)
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        res = self.engine.stop_profile()
+        return web.json_response(res, status=200 if res["success"] else 400)
 
     async def pd_prefill(self, request: web.Request) -> web.Response:
         """PD prefill half: prefill + push KV to the decode side

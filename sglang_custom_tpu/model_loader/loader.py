@@ -146,18 +146,30 @@ def load_weights(
                     if "rotary_emb" not in name:
                         logger.debug("skipping unmapped weight %s", name)
                     continue
-                path, idx, transpose = key_map[name]
-                w = st.get_tensor(name).float().numpy()
-                if transpose:
-                    w = np.ascontiguousarray(w.T)
-                dst = staging
-                for kpart in path[:-1]:
-                    dst = dst[kpart]
-                if idx is None:
-                    dst[path[-1]][...] = w
-                else:
-                    # idx is a layer index, or (layer, expert) for MoE
-                    dst[path[-1]][idx] = w
+                entries = key_map[name]
+                if not isinstance(entries, list):
+                    entries = [entries]
+                full = st.get_tensor(name).float().numpy()
+                for entry in entries:
+                    # optional 4th element: (row_start, row_end) slice of
+                    # the HF tensor — fused checkpoints (phi3 qkv_proj,
+                    # gate_up_proj) split into our per-proj leaves
+                    if len(entry) == 4:
+                        path, idx, transpose, sl = entry
+                        w = full[sl[0] : sl[1]]
+                    else:
+                        path, idx, transpose = entry
+                        w = full
+                    if transpose:
+                        w = np.ascontiguousarray(w.T)
+                    dst = staging
+                    for kpart in path[:-1]:
+                        dst = dst[kpart]
+                    if idx is None:
+                        dst[path[-1]][...] = w
+                    else:
+                        # idx is a layer index, or (layer, expert) for MoE
+                        dst[path[-1]][idx] = w
                 seen.add(name)
 
     if "lm_head.weight" not in seen and "lm_head" in staging:
@@ -225,7 +237,13 @@ def _load_prequantized(
     # hf "...<proj>.weight" -> expect qweight/qzeros/scales(/g_idx) instead
     quant_names = {}
     float_map = {}
-    for hf_name, (path, idx, transpose) in key_map.items():
+    for hf_name, entry in key_map.items():
+        if isinstance(entry, list):
+            raise NotImplementedError(
+                "pre-quantized checkpoints with fused projections "
+                "(phi3-style) are not supported yet"
+            )
+        path, idx, transpose = entry
         if hf_name.endswith(".weight") and path[-1] in QUANTIZABLE:
             base = hf_name[: -len(".weight")]
             quant_names[base] = (path, idx)

@@ -16,7 +16,7 @@ from __future__ import annotations
 import types
 from typing import Dict
 
-from sglang_custom_tpu.models import deepseek, gemma, llama, mixtral
+from sglang_custom_tpu.models import deepseek, gemma, glm, llama, mixtral, phi3
 
 
 def _llama_like() -> types.ModuleType:
@@ -30,6 +30,9 @@ MODEL_REGISTRY: Dict[str, types.ModuleType] = {
     "Qwen3ForCausalLM": llama,
     "MixtralForCausalLM": mixtral,
     "Qwen3MoeForCausalLM": mixtral,
+    "Phi3ForCausalLM": phi3,
+    "GlmForCausalLM": glm,
+    "Glm4ForCausalLM": glm,
     "DeepseekV2ForCausalLM": deepseek,
     "DeepseekV3ForCausalLM": deepseek,
     "Gemma2ForCausalLM": gemma,

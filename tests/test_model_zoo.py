@@ -206,3 +206,49 @@ def test_deepseek_v3_golden(tmp_path_factory):
         for layer in m.model.layers[1:]:
             layer.mlp.gate.e_score_correction_bias.uniform_(-0.2, 0.2)
     _golden_check(m, _save(m, tmp_path_factory, "tiny_dsv3"))
+
+
+def test_phi3_golden(tmp_path_factory):
+    """Fused qkv_proj / gate_up_proj checkpoint split at load."""
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    cfg = Phi3Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1, bos_token_id=2,
+    )
+    torch.manual_seed(10)
+    m = Phi3ForCausalLM(cfg)
+    _golden_check(m, _save(m, tmp_path_factory, "tiny_phi3"))
+
+
+def test_glm4_golden(tmp_path_factory):
+    """Partial interleaved rope + sandwich norms + qkv bias."""
+    from transformers import Glm4Config, Glm4ForCausalLM
+
+    cfg = Glm4Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.5, attention_bias=True,
+        max_position_embeddings=512, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1, bos_token_id=2,
+    )
+    torch.manual_seed(11)
+    m = Glm4ForCausalLM(cfg)
+    _golden_check(m, _save(m, tmp_path_factory, "tiny_glm4"))
+
+
+def test_glm_golden(tmp_path_factory):
+    from transformers import GlmConfig, GlmForCausalLM
+
+    cfg = GlmConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, partial_rotary_factor=0.5, attention_bias=True,
+        max_position_embeddings=512, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1, bos_token_id=2,
+    )
+    torch.manual_seed(12)
+    m = GlmForCausalLM(cfg)
+    _golden_check(m, _save(m, tmp_path_factory, "tiny_glm"))
