@@ -104,6 +104,9 @@ class ModelRunner:
         self._base_key = jax.random.PRNGKey(server_args.random_seed)
         # set by the Engine when --enable-lora (lora/lora_manager.py)
         self.lora_manager = None
+        # set by the Engine when expert-distribution recording is on
+        # (eplb/expert_distribution.py)
+        self.expert_recorder = None
 
     def _create_attn_backend(self):
         """Backend dispatch (reference: model_runner.py:1313): Pallas on TPU,
@@ -302,6 +305,21 @@ class ModelRunner:
         )
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _step_recorded(
+        self, params, kv, meta: ForwardMeta, smeta: SamplingMeta, key
+    ):
+        """Step that also returns per-layer expert-routing counts [L, E]
+        (reference: eplb/expert_distribution.py recorder hooks)."""
+        hidden, kv, counts = self.model.forward(
+            params, self.cfg, meta, kv, self.attn_backend,
+            record_experts=True,
+        )
+        logits = self.model.compute_last_logits(params, hidden, meta, self.cfg)
+        tokens = sample(logits, smeta, key)
+        logprobs = compute_token_logprobs(logits, tokens)
+        return kv, tokens, logprobs, counts
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _step_lora(
         self, params, kv, meta: ForwardMeta, smeta: SamplingMeta,
         lora, lora_ids, lora_scale, key,
@@ -384,11 +402,15 @@ class ModelRunner:
 
         self._step_counter += 1
 
+        recording = (
+            self.expert_recorder is not None and self.expert_recorder.recording
+        )
         # Hot paths: one packed upload, one packed download.
         if (
             batch.penalties is None
             and batch.ilp_targets is None
             and batch.lora_ids is None
+            and not recording
         ):
             packed = self._pack_meta(batch, Bp, Tp, Pp, pad)
             if batch.burst > 1 and not batch.is_extend:
@@ -448,6 +470,14 @@ class ModelRunner:
                 lora, lora_ids, lora_scale, key,
             )
             self.kv_pool.kv = kv
+            return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
+
+        if recording and batch.penalties is None and lora is None:
+            kv, tokens, logprobs, counts = self._step_recorded(
+                self.params, self.kv_pool.kv, meta, smeta, key
+            )
+            self.kv_pool.kv = kv
+            self.expert_recorder.record(np.asarray(counts))
             return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
 
         if batch.penalties is not None:

@@ -285,8 +285,9 @@ def _router(h: jax.Array, lp: dict, cfg: ModelConfig):
     return topk_w * cfg.routed_scaling_factor, topk_e
 
 
-def _moe_ffn(x: jax.Array, lp: dict, cfg: ModelConfig) -> jax.Array:
-    """Routed experts (sorted ragged GEMMs) + shared experts."""
+def _moe_ffn(x: jax.Array, lp: dict, cfg: ModelConfig):
+    """Routed experts (sorted ragged GEMMs) + shared experts.
+    Returns (out, expert_counts [E] i32) for the distribution recorder."""
     N, H = x.shape
     E, K = cfg.num_experts, cfg.num_experts_per_tok
     topk_w, topk_e = _router(x, lp, cfg)
@@ -309,7 +310,7 @@ def _moe_ffn(x: jax.Array, lp: dict, cfg: ModelConfig) -> jax.Array:
         g = mm(x, lp["shared_gate"])
         u = mm(x, lp["shared_up"])
         routed = routed + mm(jax.nn.silu(g) * u, lp["shared_down"])
-    return routed
+    return routed, group_sizes.astype(jnp.int32)
 
 
 def _mla_block(x, lp, kv_l, cfg: ModelConfig, meta, cos, sin, scale):
@@ -356,6 +357,7 @@ def forward(
     meta: ForwardMeta,
     kv_cache: jax.Array,  # [L, 1, P, ps, 2, F/2] latent pool
     attn_backend: Callable,  # unused: MLA has its own kernel path
+    record_experts: bool = False,
 ):
     B, T = meta.token_ids.shape
     eps = cfg.rms_norm_eps
@@ -381,15 +383,29 @@ def forward(
         lp, kv_l = xs
         x, kv_l = _mla_block(x, lp, kv_l, cfg, meta, cos, sin, scale)
         h = rms_norm(x, lp["post_norm"], eps)
-        x = x + _moe_ffn(h.reshape(B * T, -1), lp, cfg).reshape(B, T, -1)
+        moe_out, counts = _moe_ffn(h.reshape(B * T, -1), lp, cfg)
+        x = x + moe_out.reshape(B, T, -1)
+        if record_experts:
+            return x, (kv_l, counts)
         return x, kv_l
 
     x, kv_dense = lax.scan(
         dense_layer, x, (params["dense_layers"], kv_cache[:Kd])
     )
-    x, kv_moe = lax.scan(moe_layer, x, (params["moe_layers"], kv_cache[Kd:]))
+    x, ys = lax.scan(moe_layer, x, (params["moe_layers"], kv_cache[Kd:]))
+    if record_experts:
+        kv_moe, counts = ys
+    else:
+        kv_moe = ys
     new_kv = jnp.concatenate([kv_dense, kv_moe], axis=0)
-    return rms_norm(x, params["final_norm"], eps), new_kv
+    normed = rms_norm(x, params["final_norm"], eps)
+    if record_experts:
+        # dense prefix layers contribute zero counts
+        full = jnp.concatenate(
+            [jnp.zeros((Kd, cfg.num_experts), jnp.int32), counts], axis=0
+        )
+        return normed, new_kv, full
+    return normed, new_kv
 
 
 def compute_last_logits(

@@ -117,12 +117,16 @@ def param_shardings(cfg: ModelConfig, mesh_ctx) -> dict:
     }
 
 
-def moe_ffn(x: jax.Array, lp: dict, cfg: ModelConfig) -> jax.Array:
+def moe_ffn(x: jax.Array, lp: dict, cfg: ModelConfig):
     """Sparse MoE feed-forward for a [N, H] token block.
 
     Reference: fused_moe.py's sort-by-expert + grouped GEMM structure,
     re-expressed with lax.ragged_dot (moe_align_block_size + the triton
     kernel collapse into sort_key + ragged_dot).
+
+    Returns (out [N, H], expert_counts [E] i32) — the counts feed the
+    expert-distribution recorder (reference: eplb/expert_distribution.py)
+    and are dead code eliminated by XLA when the caller drops them.
     """
     N, H = x.shape
     E = cfg.num_experts
@@ -151,7 +155,8 @@ def moe_ffn(x: jax.Array, lp: dict, cfg: ModelConfig) -> jax.Array:
     out = lax.ragged_dot(act, lp["down_proj"], group_sizes)  # [N*K, H]
 
     out = jnp.take(out, inv_order, axis=0).reshape(N, K, H)
-    return jnp.sum(out * topk_w[..., None].astype(out.dtype), axis=1)
+    out = jnp.sum(out * topk_w[..., None].astype(out.dtype), axis=1)
+    return out, group_sizes.astype(jnp.int32)
 
 
 def forward(
@@ -160,10 +165,19 @@ def forward(
     meta: ForwardMeta,
     kv_cache: jax.Array,  # [L, Hkv, P, ps, 2, D]
     attn_backend: Callable,
+    record_experts: bool = False,
 ):
-    """Returns (hidden [B, T, H] post final-norm, updated kv_cache)."""
-    feats, kv_cache = forward_features(params, cfg, meta, kv_cache, attn_backend)
-    return rms_norm(feats, params["final_norm"], cfg.rms_norm_eps), kv_cache
+    """Returns (hidden [B, T, H] post final-norm, updated kv_cache[, counts
+    [L, E] when record_experts])."""
+    out = forward_features(
+        params, cfg, meta, kv_cache, attn_backend,
+        record_experts=record_experts,
+    )
+    feats, kv_cache = out[0], out[1]
+    normed = rms_norm(feats, params["final_norm"], cfg.rms_norm_eps)
+    if record_experts:
+        return normed, kv_cache, out[2]
+    return normed, kv_cache
 
 
 def forward_features(
@@ -172,6 +186,7 @@ def forward_features(
     meta: ForwardMeta,
     kv_cache: jax.Array,
     attn_backend: Callable,
+    record_experts: bool = False,
 ):
     """Decoder stack without the final norm (EAGLE feature sequence)."""
     B, T = meta.token_ids.shape
@@ -209,11 +224,17 @@ def forward_features(
         )
 
         h = rms_norm(x, lp["post_norm"], eps)
-        x = x + moe_ffn(h.reshape(B * T, -1), lp, cfg).reshape(B, T, -1)
+        moe_out, counts = moe_ffn(h.reshape(B * T, -1), lp, cfg)
+        x = x + moe_out.reshape(B, T, -1)
+        if record_experts:
+            return x, (kv_l, counts)
         return x, kv_l
 
-    x, new_kv = lax.scan(layer_fn, x, (params["layers"], kv_cache))
-    return x, new_kv
+    x, ys = lax.scan(layer_fn, x, (params["layers"], kv_cache))
+    if record_experts:
+        new_kv, counts = ys
+        return x, new_kv, counts  # counts: [L, E]
+    return x, ys
 
 
 compute_last_logits = llama_mod.compute_last_logits
