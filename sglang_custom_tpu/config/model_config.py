@@ -75,6 +75,11 @@ class ModelConfig:
     rope_interleaved: bool = False
     # fraction of head_dim that rotates (glm: 0.5); 1.0 = full rope
     partial_rotary_factor: float = 1.0
+    # embedding model (bare `XxxModel` HF architecture, e.g. e5-mistral /
+    # gte-qwen2): serve pooled hidden states instead of sampled tokens
+    # (reference: srt/models/llama.py LlamaEmbeddingModel + is_generation
+    # model_config handling)
+    is_embedding: bool = False
 
     @property
     def q_per_kv(self) -> int:
@@ -135,6 +140,13 @@ class ModelConfig:
             text["architectures"] = ["Gemma3ForCausalLM"]
             text.setdefault("vocab_size", cfg.get("vocab_size", 262208))
             return ModelConfig.from_hf_dict(text)
+        is_embedding = cfg.get("is_embedding", False)
+        if arch.endswith("Model"):
+            # Bare-trunk embedding checkpoints (e5-mistral = MistralModel,
+            # gte-qwen2 = Qwen2Model): serve the matching causal trunk with
+            # pooled-hidden outputs; the loader ties the absent lm_head.
+            arch = arch[: -len("Model")] + "ForCausalLM"
+            is_embedding = True
         is_gemma = arch.startswith("Gemma")
         is_deepseek = arch.startswith("Deepseek")
         n_heads = cfg["num_attention_heads"]
@@ -157,6 +169,7 @@ class ModelConfig:
                 raise ValueError(f"{quantization} bits={bits} unsupported")
         return ModelConfig(
             architecture=arch,
+            is_embedding=is_embedding,
             vocab_size=cfg["vocab_size"],
             hidden_size=cfg["hidden_size"],
             num_layers=cfg["num_hidden_layers"],

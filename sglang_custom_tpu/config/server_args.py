@@ -67,6 +67,11 @@ class ServerArgs:
     decode_bs_buckets: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256)
     prefill_token_buckets: tuple = (128, 256, 512, 1024, 2048, 4096, 8192)
 
+    # Embedding serving (reference: serving_embedding.py): pooling of the
+    # final hidden states. "last" (e5-mistral/gte style, chunk-safe) or
+    # "mean" (mean over prompt tokens; incompatible with chunked prefill).
+    embedding_pooling: str = "last"
+
     # Server
     host: str = "127.0.0.1"
     port: int = 30000

@@ -247,6 +247,64 @@ class Engine:
         outs = [self._collect_final(s) for s in states]
         return outs[0] if single else outs
 
+    def encode(
+        self,
+        prompt: Optional[Union[str, List[str]]] = None,
+        input_ids: Optional[Union[List[int], List[List[int]]]] = None,
+        rid: Optional[str] = None,
+    ) -> Union[Dict[str, Any], List[Dict[str, Any]]]:
+        """Embedding API (reference: engine.py:291 Engine.encode +
+        serving_embedding.py): pooled, L2-normalized final hidden states.
+        Works with bare-trunk embedding checkpoints (``XxxModel``
+        architectures) and any causal LM via last-token pooling."""
+        input_ids, _, single = self._normalize_inputs(prompt, input_ids, None)
+        states = []
+        for i, ids in enumerate(input_ids):
+            req = make_request(
+                ids, {"max_new_tokens": 0}, self._eos_ids,
+                rid=rid if rid is not None and len(input_ids) == 1 else None,
+            )
+            req.is_embedding = True
+            states.append(self.scheduler_thread.submit(req))
+        outs = []
+        for s in states:
+            chunk = s.out_queue.get()
+            while not chunk.get("finished"):
+                chunk = s.out_queue.get()
+            outs.append(
+                {
+                    "embedding": chunk.get("embedding"),
+                    "meta_info": chunk.get("meta_info", {}),
+                }
+            )
+        return outs[0] if single else outs
+
+    def rerank(
+        self,
+        query: str,
+        documents: List[str],
+    ) -> List[Dict[str, Any]]:
+        """Similarity rerank (reference: engine.py:335 Engine.rerank /
+        serving_rerank): embed query + documents, score by cosine similarity
+        (embeddings are unit-norm, so a dot product), sort descending."""
+        import numpy as np
+
+        outs = self.encode(prompt=[query] + list(documents))
+        q = np.asarray(outs[0]["embedding"], np.float32)
+        results = []
+        for i, o in enumerate(outs[1:]):
+            d = np.asarray(o["embedding"], np.float32)
+            results.append(
+                {
+                    "index": i,
+                    "document": documents[i],
+                    "score": float(q @ d),
+                    "meta_info": o["meta_info"],
+                }
+            )
+        results.sort(key=lambda r: r["score"], reverse=True)
+        return results
+
     def _collect_final(self, state: ReqState) -> Dict[str, Any]:
         while True:
             chunk = state.out_queue.get()

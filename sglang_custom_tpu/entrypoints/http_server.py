@@ -62,6 +62,9 @@ class HttpServer:
         r.add_post("/pd_generate", self.pd_generate)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
+        r.add_post("/encode", self.encode)
+        r.add_post("/v1/embeddings", self.v1_embeddings)
+        r.add_post("/v1/rerank", self.v1_rerank)
 
     # ----------------------------------------------------------- basic
 
@@ -282,6 +285,108 @@ class HttpServer:
                 sampling_params=sampling_params, rid=rid, lora_path=lora_path,
             )
             return web.json_response(out)
+        except (ValueError, AssertionError) as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+    async def encode(self, request: web.Request) -> web.Response:
+        """Native embedding API (reference: http_server.py /encode +
+        io_struct.EmbeddingReqInput)."""
+        try:
+            obj = await request.json()
+        except json.JSONDecodeError:
+            return web.json_response({"error": "invalid json"}, status=400)
+        text = obj.get("text")
+        input_ids = obj.get("input_ids")
+        if text is None and input_ids is None:
+            return web.json_response(
+                {"error": "one of `text` or `input_ids` is required"}, status=400
+            )
+        try:
+            out = await asyncio.get_running_loop().run_in_executor(
+                None,
+                lambda: self.engine.encode(prompt=text, input_ids=input_ids),
+            )
+            return web.json_response(out)
+        except (ValueError, AssertionError) as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+    async def v1_embeddings(self, request: web.Request) -> web.Response:
+        """OpenAI embeddings API (reference: serving_embedding.py)."""
+        try:
+            obj = await request.json()
+        except json.JSONDecodeError:
+            return web.json_response({"error": "invalid json"}, status=400)
+        inp = obj.get("input")
+        if inp is None:
+            return web.json_response({"error": "`input` is required"}, status=400)
+        prompts = input_ids = None
+        if isinstance(inp, str):
+            prompts = [inp]
+        elif inp and isinstance(inp[0], int):
+            input_ids = [inp]
+        elif inp and isinstance(inp[0], list):
+            input_ids = inp
+        else:
+            prompts = list(inp)
+        try:
+            outs = await asyncio.get_running_loop().run_in_executor(
+                None,
+                lambda: self.engine.encode(prompt=prompts, input_ids=input_ids),
+            )
+            if isinstance(outs, dict):
+                outs = [outs]
+            prompt_tokens = sum(
+                o["meta_info"].get("prompt_tokens", 0) for o in outs
+            )
+            return web.json_response(
+                {
+                    "object": "list",
+                    "model": obj.get(
+                        "model", self.engine.server_args.served_model_name
+                    ),
+                    "data": [
+                        {
+                            "object": "embedding",
+                            "index": i,
+                            "embedding": o["embedding"],
+                        }
+                        for i, o in enumerate(outs)
+                    ],
+                    "usage": {
+                        "prompt_tokens": prompt_tokens,
+                        "total_tokens": prompt_tokens,
+                    },
+                }
+            )
+        except (ValueError, AssertionError) as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+    async def v1_rerank(self, request: web.Request) -> web.Response:
+        """Rerank API (reference: serving_rerank.py /v1/rerank)."""
+        try:
+            obj = await request.json()
+        except json.JSONDecodeError:
+            return web.json_response({"error": "invalid json"}, status=400)
+        query = obj.get("query")
+        documents = obj.get("documents")
+        if not query or not documents:
+            return web.json_response(
+                {"error": "`query` and `documents` are required"}, status=400
+            )
+        try:
+            results = await asyncio.get_running_loop().run_in_executor(
+                None, lambda: self.engine.rerank(query, documents)
+            )
+            return web.json_response(
+                [
+                    {
+                        "index": r["index"],
+                        "document": r["document"],
+                        "relevance_score": r["score"],
+                    }
+                    for r in results
+                ]
+            )
         except (ValueError, AssertionError) as e:
             return web.json_response({"error": str(e)}, status=400)
 

@@ -73,6 +73,11 @@ class Req:
         self.lora_slot = 0
         self.lora_scaling = 0.0
 
+        # Embedding request (reference: EmbeddingReqInput io_struct.py):
+        # finish after prefill with a pooled hidden-state vector.
+        self.is_embedding = False
+        self.embedding: Optional[np.ndarray] = None  # [H] f32, set by runner
+
         # KV state
         self.page_list: List[int] = []   # pages backing fill_ids[:computed_len]
         self.cached_len = 0              # leading tokens whose pages the tree owns
@@ -187,6 +192,10 @@ class HostBatch:
     # LoRA adapter routing (None when no request in the batch uses LoRA)
     lora_ids: Optional[np.ndarray] = None    # [B] i32 pool slot
     lora_scale: Optional[np.ndarray] = None  # [B] f32 alpha/r
+    # embedding batch: every row is an embedding request; the runner fills
+    # ``embeddings`` [B, H] f32 instead of sampling tokens
+    is_embed: bool = False
+    embeddings: Optional[np.ndarray] = None
 
     @property
     def batch_size(self) -> int:
@@ -263,9 +272,15 @@ def build_batch(
         lora_ids = np.asarray([r.lora_slot for r in reqs], np.int32)
         lora_scale = np.asarray([r.lora_scaling for r in reqs], np.float32)
 
+    is_embed = any(r.is_embedding for r in reqs)
+    assert not is_embed or all(r.is_embedding for r in reqs), (
+        "embedding and generation requests must not share a batch"
+    )
+
     return HostBatch(
         reqs=reqs,
         is_extend=is_extend,
+        is_embed=is_embed,
         lora_ids=lora_ids,
         lora_scale=lora_scale,
         token_ids=token_ids,

@@ -118,7 +118,7 @@ class Scheduler:
         if batch is None:
             return []
         valid = None
-        if self.spec is not None:
+        if self.spec is not None and not batch.is_embed:
             if batch.is_extend and batch.lora_ids is None:
                 tokens, logprobs = self.spec.prefill(batch)
             elif getattr(batch, "spec", False):
@@ -198,6 +198,10 @@ class Scheduler:
         # separate executables; don't mix their requests in one batch.
         wants_ilp = r.sampling_params.return_input_logprob
         wants_pen = r.sampling_params.needs_penalties or r.grammar is not None
+        if reqs and r.is_embedding != reqs[0].is_embedding:
+            # Embedding batches run a pooled-hidden executable; never mix
+            # them with generation rows (reference: is_generation split).
+            return False
         if reqs:
             has_pen = any(
                 x.sampling_params.needs_penalties or x.grammar is not None
@@ -423,6 +427,11 @@ class Scheduler:
                         r.input_token_logprobs.append(
                             float(batch.input_logprobs[i, t])
                         )
+            if batch.is_embed and not r.is_chunked:
+                # Final (or only) chunk of an embedding request: capture the
+                # pooled hidden state; the max_new_tokens==0 branch below
+                # finishes the request.
+                r.embedding = np.asarray(batch.embeddings[i], np.float32)
             if batch.is_extend and r.is_chunked:
                 # Mid-prompt chunk: the sampled token is meaningless; publish
                 # the computed KV so concurrent requests can share it.

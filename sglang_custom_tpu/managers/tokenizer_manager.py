@@ -243,7 +243,13 @@ class SchedulerThread:
         )
         if req.sampling_params.return_input_logprob:
             logprob_info["input_token_logprobs"] = list(req.input_token_logprobs)
+        embed_info = (
+            {"embedding": req.embedding.tolist()}
+            if req.is_embedding and req.embedding is not None
+            else {}
+        )
         return {
+            **embed_info,
             "rid": req.rid,
             "text": text[state.text_sent :],
             "full_text": text,

@@ -292,6 +292,31 @@ class ModelRunner:
         (kv, _, _, _), (toks, lps) = lax.scan(step_fn, init, jnp.arange(K))
         return kv, self._pack_out(toks.T, lps.T)
 
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _step_embed(self, params, kv, meta: ForwardMeta):
+        """Embedding step: pooled, L2-normalized final hidden states instead
+        of sampled tokens (reference: serving_embedding.py + the pooler in
+        srt/layers/pooler.py; last-token pooling as in e5-mistral)."""
+        hidden, kv = self.model.forward(
+            params, self.cfg, meta, kv, self.attn_backend
+        )
+        if self.server_args.embedding_pooling == "mean":
+            T = hidden.shape[1]
+            mask = (
+                jnp.arange(T)[None, :] < meta.extend_lens[:, None]
+            ).astype(jnp.float32)
+            pooled = jnp.einsum("bth,bt->bh", hidden.astype(jnp.float32), mask)
+            pooled = pooled / jnp.maximum(
+                meta.extend_lens[:, None].astype(jnp.float32), 1.0
+            )
+        else:
+            idx = jnp.maximum(meta.extend_lens - 1, 0)
+            pooled = jnp.take_along_axis(
+                hidden, idx[:, None, None], axis=1
+            )[:, 0].astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
+        return kv, pooled / jnp.maximum(norm, 1e-12)
+
     def _fwd(self, params, kv, meta, lora=None, lora_ids=None, lora_scale=None):
         """Model forward, with the batched-LoRA args threaded through when
         a batch carries adapters (lora/lora_manager.py)."""
@@ -401,6 +426,19 @@ class ModelRunner:
             return out
 
         self._step_counter += 1
+
+        if batch.is_embed:
+            meta = ForwardMeta(
+                token_ids=jnp.asarray(pad(batch.token_ids, (Bp, Tp))),
+                positions=jnp.asarray(pad(batch.positions, (Bp, Tp))),
+                page_table=jnp.asarray(pad(batch.page_table, (Bp, Pp))),
+                seq_lens=jnp.asarray(pad(batch.seq_lens, (Bp,), fill=1)),
+                extend_lens=jnp.asarray(pad(batch.extend_lens, (Bp,), fill=1)),
+            )
+            kv, emb = self._step_embed(self.params, self.kv_pool.kv, meta)
+            self.kv_pool.kv = kv
+            batch.embeddings = np.asarray(emb)[:B]
+            return np.zeros((B,), np.int32), np.zeros((B,), np.float32)
 
         recording = (
             self.expert_recorder is not None and self.expert_recorder.recording

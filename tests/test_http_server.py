@@ -259,3 +259,41 @@ def test_flush_cache(server):
         time.sleep(0.05)
     status, body = _req(f"{url}/flush_cache", "POST")
     assert status == 200
+
+
+def test_openai_embeddings(server):
+    """/v1/embeddings (reference: serving_embedding.py OpenAI protocol)."""
+    url, _ = server
+    status, body = _req(
+        f"{url}/v1/embeddings", "POST",
+        {"input": ["hello world", "the quick brown fox"]},
+    )
+    assert status == 200
+    out = json.loads(body)
+    assert out["object"] == "list" and len(out["data"]) == 2
+    import math
+
+    for i, d in enumerate(out["data"]):
+        assert d["index"] == i
+        norm = math.sqrt(sum(x * x for x in d["embedding"]))
+        assert abs(norm - 1.0) < 1e-3
+    assert out["usage"]["prompt_tokens"] > 0
+
+
+def test_encode_and_rerank(server):
+    url, _ = server
+    status, body = _req(f"{url}/encode", "POST", {"text": "hello world"})
+    assert status == 200
+    assert "embedding" in json.loads(body)
+
+    status, body = _req(
+        f"{url}/v1/rerank", "POST",
+        {
+            "query": "the quick brown fox",
+            "documents": ["hello hello", "the quick brown fox", "test of"],
+        },
+    )
+    assert status == 200
+    ranked = json.loads(body)
+    assert ranked[0]["document"] == "the quick brown fox"
+    assert ranked[0]["relevance_score"] > ranked[-1]["relevance_score"]
