@@ -80,6 +80,26 @@ class ModelConfig:
     # (reference: srt/models/llama.py LlamaEmbeddingModel + is_generation
     # model_config handling)
     is_embedding: bool = False
+    # --- multimodal (llava-family; reference: srt/models/llava.py +
+    # srt/multimodal/processors/) ---
+    # normalized vision-tower config dict (see models/vision_clip.py);
+    # None = text-only model
+    vision: Optional[dict] = None
+    # placeholder token id marking image positions in input_ids
+    image_token_id: int = -1
+
+    @property
+    def is_multimodal(self) -> bool:
+        return self.vision is not None
+
+    @property
+    def num_image_tokens(self) -> int:
+        """Feature tokens injected per image."""
+        v = self.vision
+        n = (v["image_size"] // v["patch_size"]) ** 2
+        if v.get("vision_feature_select_strategy", "default") != "default":
+            n += 1  # CLS kept
+        return n
 
     @property
     def q_per_kv(self) -> int:
@@ -133,6 +153,43 @@ class ModelConfig:
     @staticmethod
     def from_hf_dict(cfg: dict) -> "ModelConfig":
         arch = (cfg.get("architectures") or ["LlamaForCausalLM"])[0]
+        if arch in ("LlavaForConditionalGeneration",
+                    "LlavaLlamaForCausalLM"):
+            # llava = llama/vicuna text tower + CLIP vision tower + 2-layer
+            # projector (reference: srt/models/llava.py)
+            text = dict(cfg["text_config"])
+            text.setdefault("architectures", ["LlamaForCausalLM"])
+            mc = ModelConfig.from_hf_dict(text)
+            vc = dict(cfg["vision_config"])
+            mc = dataclasses.replace(
+                mc,
+                architecture="LlavaForConditionalGeneration",
+                image_token_id=cfg.get("image_token_index", 32000),
+                vision={
+                    "hidden_size": vc["hidden_size"],
+                    "intermediate_size": vc["intermediate_size"],
+                    "num_hidden_layers": vc["num_hidden_layers"],
+                    "num_attention_heads": vc["num_attention_heads"],
+                    "image_size": vc.get("image_size", 336),
+                    "patch_size": vc.get("patch_size", 14),
+                    "layer_norm_eps": vc.get("layer_norm_eps", 1e-5),
+                    "hidden_act": vc.get("hidden_act", "quick_gelu"),
+                    "image_mean": vc.get(
+                        "image_mean", [0.48145466, 0.4578275, 0.40821073]
+                    ),
+                    "image_std": vc.get(
+                        "image_std", [0.26862954, 0.26130258, 0.27577711]
+                    ),
+                    "vision_feature_layer": cfg.get("vision_feature_layer", -2),
+                    "vision_feature_select_strategy": cfg.get(
+                        "vision_feature_select_strategy", "default"
+                    ),
+                    "projector_hidden_act": cfg.get(
+                        "projector_hidden_act", "gelu"
+                    ),
+                },
+            )
+            return mc
         if arch == "Gemma3ForConditionalGeneration":
             # multimodal wrapper: serve the text tower (reference:
             # srt/models/gemma3_causal.py handles the text config likewise)

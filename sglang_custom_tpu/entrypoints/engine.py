@@ -106,6 +106,17 @@ class Engine:
                 name, _, p = spec.partition("=")
                 self.lora_manager.load(name, p or name)
 
+        self.mm_processor = None
+        self.mm_cache = None
+        if self.model_config.is_multimodal:
+            from sglang_custom_tpu.multimodal import (
+                MultimodalCache,
+                MultimodalProcessor,
+            )
+
+            self.mm_processor = MultimodalProcessor(self.model_config)
+            self.mm_cache = MultimodalCache()
+
         self._eos_ids = self._collect_eos_ids()
         self._grammar_backend = None
         self._sessions: Dict[str, List[int]] = {}
@@ -198,19 +209,65 @@ class Engine:
             )
         return self._grammar_backend
 
+    def _prepare_mm(self, ids, image_data):
+        """Preprocess + encode images, expand placeholder tokens.
+        Returns (expanded_ids, mm_embeds [n,H] f32, mm_positions [n])."""
+        import numpy as np
+
+        from sglang_custom_tpu.multimodal import expand_image_tokens
+
+        if self.mm_processor is None:
+            raise ValueError("image_data given but model is not multimodal")
+        if not isinstance(image_data, (list, tuple)) or (
+            image_data and isinstance(image_data[0], (int, float))
+        ):
+            image_data = [image_data]
+        hashes, feats, misses = [], {}, []
+        for img in image_data:
+            px, h = self.mm_processor.preprocess(img)
+            hashes.append(h)
+            cached = self.mm_cache.get(h)
+            if cached is not None:
+                feats[h] = cached
+            else:
+                misses.append((h, px))
+        if misses:
+            batch = np.stack([px for _, px in misses])
+            out = self.runner.encode_images(batch)
+            for (h, _), f in zip(misses, out):
+                f = np.asarray(f, np.float32)
+                feats[h] = f
+                self.mm_cache.put(h, f)
+        new_ids, spans = expand_image_tokens(ids, hashes, self.model_config)
+        mm_embeds = np.concatenate([feats[h] for h in hashes])
+        mm_positions = np.concatenate(
+            [np.arange(s, s + n) for s, n in spans]
+        )
+        return new_ids, mm_embeds, mm_positions
+
     def _submit(
-        self, input_ids, sampling_params, rid=None, lora_path=None
+        self, input_ids, sampling_params, rid=None, lora_path=None,
+        image_data=None,
     ) -> List[ReqState]:
         from sglang_custom_tpu.constrained import Grammar
 
         if lora_path is None or isinstance(lora_path, str):
             lora_path = [lora_path] * len(input_ids)
+        if image_data is None:
+            image_data = [None] * len(input_ids)
         states = []
         for i, (ids, sp) in enumerate(zip(input_ids, sampling_params)):
+            mm_embeds = mm_positions = None
+            if image_data[i] is not None:
+                ids, mm_embeds, mm_positions = self._prepare_mm(
+                    ids, image_data[i]
+                )
             req = make_request(
                 ids, sp, self._eos_ids,
                 rid=rid if rid is not None and len(input_ids) == 1 else None,
             )
+            req.mm_embeds = mm_embeds
+            req.mm_positions = mm_positions
             if lora_path[i]:
                 if self.lora_manager is None:
                     raise ValueError("lora_path given but --enable-lora is off")
@@ -233,14 +290,20 @@ class Engine:
         stream: bool = False,
         rid: Optional[str] = None,
         lora_path: Optional[Union[str, List[Optional[str]]]] = None,
+        image_data=None,
     ) -> Union[Dict[str, Any], List[Dict[str, Any]], Iterator[Dict[str, Any]]]:
         """Synchronous generation (reference: engine.py:138). With
-        ``stream=True`` returns an iterator of chunk dicts (:204-214)."""
+        ``stream=True`` returns an iterator of chunk dicts (:204-214).
+        ``image_data``: per-request image(s) — np arrays, paths, bytes, or
+        base64 (reference: GenerateReqInput.image_data)."""
         input_ids, sampling_params, single = self._normalize_inputs(
             prompt, input_ids, sampling_params
         )
+        if single and image_data is not None:
+            image_data = [image_data]
         states = self._submit(
-            input_ids, sampling_params, rid=rid, lora_path=lora_path
+            input_ids, sampling_params, rid=rid, lora_path=lora_path,
+            image_data=image_data,
         )
         if stream:
             return self._stream_outputs(states)
@@ -347,6 +410,7 @@ class Engine:
         stream: bool = False,
         rid: Optional[str] = None,
         lora_path: Optional[Union[str, List[Optional[str]]]] = None,
+        image_data=None,
     ):
         """Asyncio front (reference: engine.py:219 async_generate). Returns
         an awaitable dict, or an async iterator when stream=True."""
@@ -355,8 +419,11 @@ class Engine:
         input_ids, sampling_params, single = self._normalize_inputs(
             prompt, input_ids, sampling_params
         )
+        if single and image_data is not None:
+            image_data = [image_data]
         states = self._submit(
-            input_ids, sampling_params, rid=rid, lora_path=lora_path
+            input_ids, sampling_params, rid=rid, lora_path=lora_path,
+            image_data=image_data,
         )
 
         if stream:

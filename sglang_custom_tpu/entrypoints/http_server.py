@@ -251,6 +251,7 @@ class HttpServer:
         stream = bool(obj.get("stream", False))
         rid = obj.get("rid")
         lora_path = obj.get("lora_path")
+        image_data = obj.get("image_data")
         if text is None and input_ids is None:
             return web.json_response(
                 {"error": "one of `text` or `input_ids` is required"}, status=400
@@ -261,7 +262,7 @@ class HttpServer:
                 agen = await self.engine.async_generate(
                     prompt=text, input_ids=input_ids,
                     sampling_params=sampling_params, stream=True, rid=rid,
-                    lora_path=lora_path,
+                    lora_path=lora_path, image_data=image_data,
                 )
                 resp = web.StreamResponse(
                     headers={"Content-Type": "text/event-stream",
@@ -283,6 +284,7 @@ class HttpServer:
             out = await self.engine.async_generate(
                 prompt=text, input_ids=input_ids,
                 sampling_params=sampling_params, rid=rid, lora_path=lora_path,
+                image_data=image_data,
             )
             return web.json_response(out)
         except (ValueError, AssertionError) as e:

@@ -78,6 +78,12 @@ class Req:
         self.is_embedding = False
         self.embedding: Optional[np.ndarray] = None  # [H] f32, set by runner
 
+        # Multimodal (models/llava.py): projected image features and the
+        # absolute prompt positions they override (reference: mm_utils
+        # embedding scatter). None = text-only request.
+        self.mm_embeds: Optional[np.ndarray] = None     # [n, H] f32
+        self.mm_positions: Optional[np.ndarray] = None  # [n] i64
+
         # KV state
         self.page_list: List[int] = []   # pages backing fill_ids[:computed_len]
         self.cached_len = 0              # leading tokens whose pages the tree owns
@@ -196,6 +202,9 @@ class HostBatch:
     # ``embeddings`` [B, H] f32 instead of sampling tokens
     is_embed: bool = False
     embeddings: Optional[np.ndarray] = None
+    # multimodal embedding override for this extend window (None = text-only)
+    mm_override: Optional[np.ndarray] = None  # [B, T, H] f32
+    mm_mask: Optional[np.ndarray] = None      # [B, T] bool
 
     @property
     def batch_size(self) -> int:
@@ -277,6 +286,25 @@ def build_batch(
         "embedding and generation requests must not share a batch"
     )
 
+    # Multimodal override: image-token positions inside this extend window
+    # take projected vision features (reference: mm_utils embedding scatter).
+    mm_override = mm_mask = None
+    if is_extend:
+        for i, (r, e) in enumerate(zip(reqs, extend_lens)):
+            if r.mm_positions is None:
+                continue
+            lo, hi = r.computed_len, r.computed_len + e
+            sel = (r.mm_positions >= lo) & (r.mm_positions < hi)
+            if not sel.any():
+                continue
+            if mm_override is None:
+                H = r.mm_embeds.shape[1]
+                mm_override = np.zeros((B, T, H), np.float32)
+                mm_mask = np.zeros((B, T), bool)
+            cols = r.mm_positions[sel] - lo
+            mm_override[i, cols] = r.mm_embeds[sel]
+            mm_mask[i, cols] = True
+
     return HostBatch(
         reqs=reqs,
         is_extend=is_extend,
@@ -295,6 +323,8 @@ def build_batch(
         penalties=penalties,
         ilp_targets=ilp_targets,
         ilp_valid=ilp_valid,
+        mm_override=mm_override,
+        mm_mask=mm_mask,
     )
 
 

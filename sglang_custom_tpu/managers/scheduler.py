@@ -118,7 +118,11 @@ class Scheduler:
         if batch is None:
             return []
         valid = None
-        if self.spec is not None and not batch.is_embed:
+        if (
+            self.spec is not None
+            and not batch.is_embed
+            and batch.mm_override is None
+        ):
             if batch.is_extend and batch.lora_ids is None:
                 tokens, logprobs = self.spec.prefill(batch)
             elif getattr(batch, "spec", False):
@@ -202,6 +206,7 @@ class Scheduler:
             # Embedding batches run a pooled-hidden executable; never mix
             # them with generation rows (reference: is_generation split).
             return False
+        wants_mm = r.mm_positions is not None
         if reqs:
             has_pen = any(
                 x.sampling_params.needs_penalties or x.grammar is not None
@@ -210,7 +215,15 @@ class Scheduler:
             has_ilp = any(
                 x.sampling_params.return_input_logprob for x in reqs
             )
+            has_mm = any(x.mm_positions is not None for x in reqs)
+            has_lora = any(x.lora_slot for x in reqs)
             if (wants_ilp and has_pen) or (wants_pen and has_ilp):
+                return False
+            # the multimodal-injection step is its own executable; keep it
+            # free of penalty/logprob/LoRA rows (and vice versa)
+            if wants_mm and (has_pen or has_ilp or has_lora):
+                return False
+            if has_mm and (wants_pen or wants_ilp or r.lora_slot):
                 return False
         m = self.tree_cache.match_prefix(r.fill_ids)
         # Never serve the *entire* fill from cache: the last token must be

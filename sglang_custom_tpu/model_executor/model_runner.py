@@ -293,6 +293,40 @@ class ModelRunner:
         return kv, self._pack_out(toks.T, lps.T)
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _step_mm(
+        self, params, kv, meta: ForwardMeta, smeta: SamplingMeta,
+        mm_override, mm_mask, key,
+    ):
+        """Prefill step with multimodal embedding injection
+        (models/llava.py; reference: mm_utils.py scatter of image
+        embeddings into input_embeds)."""
+        hidden, kv = self.model.forward(
+            params, self.cfg, meta, kv, self.attn_backend,
+            mm_override=mm_override, mm_mask=mm_mask,
+        )
+        logits = self.model.compute_last_logits(params, hidden, meta, self.cfg)
+        tokens = sample(logits, smeta, key)
+        logprobs = compute_token_logprobs(logits, tokens)
+        return kv, tokens, logprobs
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _encode_images_jit(self, params, pixel_values):
+        return self.model.encode_images(params, pixel_values, self.cfg)
+
+    def encode_images(self, pixel_values: "np.ndarray") -> "np.ndarray":
+        """[N, 3, S, S] f32 -> projected features [N, tokens, H] f32,
+        padded to a power-of-two image count for jit-cache stability."""
+        N = pixel_values.shape[0]
+        Np = pow2_bucket(N)
+        if Np != N:
+            pixel_values = np.concatenate(
+                [pixel_values,
+                 np.zeros((Np - N,) + pixel_values.shape[1:], np.float32)]
+            )
+        out = self._encode_images_jit(self.params, jnp.asarray(pixel_values))
+        return np.asarray(out)[:N]
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
     def _step_embed(self, params, kv, meta: ForwardMeta):
         """Embedding step: pooled, L2-normalized final hidden states instead
         of sampled tokens (reference: serving_embedding.py + the pooler in
@@ -448,6 +482,7 @@ class ModelRunner:
             batch.penalties is None
             and batch.ilp_targets is None
             and batch.lora_ids is None
+            and batch.mm_override is None
             and not recording
         ):
             packed = self._pack_meta(batch, Bp, Tp, Pp, pad)
@@ -491,6 +526,16 @@ class ModelRunner:
             lora = self.lora_manager.pools
             lora_ids = jnp.asarray(pad(batch.lora_ids, (Bp,)))
             lora_scale = jnp.asarray(pad(batch.lora_scale, (Bp,)))
+
+        if batch.mm_override is not None:
+            Hh = batch.mm_override.shape[2]
+            ovr = jnp.asarray(pad(batch.mm_override, (Bp, Tp, Hh)))
+            msk = jnp.asarray(pad(batch.mm_mask, (Bp, Tp)))
+            kv, tokens, logprobs = self._step_mm(
+                self.params, self.kv_pool.kv, meta, smeta, ovr, msk, key
+            )
+            self.kv_pool.kv = kv
+            return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
 
         if batch.ilp_targets is not None and batch.penalties is None:
             targets = jnp.asarray(pad(batch.ilp_targets, (Bp, Tp)))

@@ -172,7 +172,10 @@ def load_weights(
                         dst[path[-1]][idx] = w
                 seen.add(name)
 
-    if "lm_head.weight" not in seen and "lm_head" in staging:
+    if (
+        not any(n.endswith("lm_head.weight") for n in seen)
+        and "lm_head" in staging
+    ):
         if not cfg.tie_word_embeddings:
             logger.warning("lm_head missing and embeddings not tied; tying anyway")
         staging["lm_head"][...] = staging["embed"].T
@@ -275,7 +278,7 @@ def _load_prequantized(
                             dst[path[-1]][idx] = w
                         seen.add(name)
 
-    if "lm_head.weight" not in seen:
+    if not any(n.endswith("lm_head.weight") for n in seen):
         staging["lm_head"][...] = staging["embed"].T
 
     # assemble quantized leaves

@@ -147,11 +147,14 @@ def forward(
     lora=None,
     lora_ids=None,
     lora_scale=None,
+    mm_override=None,
+    mm_mask=None,
 ):
     """Returns (hidden [B, T, H] post final-norm, updated kv_cache)."""
     feats, kv_cache = forward_features(
         params, cfg, meta, kv_cache, attn_backend,
         lora=lora, lora_ids=lora_ids, lora_scale=lora_scale,
+        mm_override=mm_override, mm_mask=mm_mask,
     )
     return rms_norm(feats, params["final_norm"], cfg.rms_norm_eps), kv_cache
 
@@ -165,6 +168,8 @@ def forward_features(
     lora=None,        # {target: {"A": [L, S, in, r], "B": [L, S, r, out]}}
     lora_ids=None,    # [B] int32 adapter slot per row (0 = none)
     lora_scale=None,  # [B] f32 alpha/r per row
+    mm_override=None, # [B, T, H] projected image features (llava injection)
+    mm_mask=None,     # [B, T] bool: positions whose embedding is overridden
 ):
     """Decoder stack WITHOUT the final norm. The pre-norm hidden is the
     EAGLE "feature" sequence (reference: eagle_worker.py captures hidden
@@ -176,6 +181,10 @@ def forward_features(
     eps = cfg.rms_norm_eps
 
     x = jnp.take(params["embed"], meta.token_ids, axis=0)  # [B, T, H]
+    if mm_override is not None:
+        # Multimodal embedding injection (models/llava.py): image-token
+        # positions take projected vision features instead of the lookup.
+        x = jnp.where(mm_mask[..., None], mm_override.astype(x.dtype), x)
     inv_freq = jnp.asarray(rope_inv_freq(cfg))
     cos, sin = rope_cos_sin(meta.positions, inv_freq)  # [B, T, D/2]
 

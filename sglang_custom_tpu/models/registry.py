@@ -16,7 +16,15 @@ from __future__ import annotations
 import types
 from typing import Dict
 
-from sglang_custom_tpu.models import deepseek, gemma, glm, llama, mixtral, phi3
+from sglang_custom_tpu.models import (
+    deepseek,
+    gemma,
+    glm,
+    llama,
+    llava,
+    mixtral,
+    phi3,
+)
 
 
 def _llama_like() -> types.ModuleType:
@@ -40,6 +48,9 @@ MODEL_REGISTRY: Dict[str, types.ModuleType] = {
     # multimodal wrapper: ModelConfig.from_hf_dict rewrites it to the text
     # tower (Gemma3ForCausalLM), but register for direct lookups too
     "Gemma3ForConditionalGeneration": gemma,
+    # vision-language (reference: srt/models/llava.py)
+    "LlavaForConditionalGeneration": llava,
+    "LlavaLlamaForCausalLM": llava,
 }
 
 
