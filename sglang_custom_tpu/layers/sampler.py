@@ -88,43 +88,68 @@ def apply_penalties(logits: jax.Array, pm: PenaltyMeta) -> jax.Array:
     return logits
 
 
+# Filtered rows sample within the top-K_CANDS highest logits. top-p /
+# top-k / min-p masks are computed in this sorted candidate space, so the
+# kernel never sorts or gathers the full vocab (two [B, V] take_along_axis
+# gathers cost ~190 ms/step on TPU v5e at V=128k — measured, round 2).
+# top-p is exact whenever the requested mass is covered by the candidates,
+# which at p<=0.999 it is for every real LLM distribution; top-k is exact
+# for k <= K_CANDS and clamps above.
+K_CANDS = 128
+
+
 def sample(
     logits: jax.Array,  # [B, V] f32
     meta: SamplingMeta,
     key: jax.Array,
 ) -> jax.Array:
-    """Returns sampled token ids [B] int32."""
+    """Returns sampled token ids [B] int32. Sort-free TPU design:
+
+    - greedy rows (temperature == 0): plain argmax.
+    - unfiltered stochastic rows: exact Gumbel-argmax over the full vocab
+      (categorical sampling needs no sort and no renormalization).
+    - filtered rows (top-k / top-p / min-p active): Gumbel-argmax over the
+      top-``K_CANDS`` candidates from one ``lax.top_k`` partial sort.
+
+    (Reference does the same split on GPU: greedy fast path + flashinfer
+    filtering kernels, srt/layers/sampler.py:29.)
+    """
     B, V = logits.shape
-    needs_filter = True  # single traced path; masks no-op when disabled
+    kmax = min(K_CANDS, V)
 
-    # Sort once (descending); derive top-k / top-p / min-p masks in sorted
-    # order, then scatter back via argsort of the sort permutation.
-    sort_idx = jnp.argsort(-logits, axis=-1)
-    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
-    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(sorted_probs, axis=-1)
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    rank = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
-    keep = rank < meta.top_k[:, None]
-    # top-p: keep the smallest prefix whose mass reaches top_p (always keep
-    # the first token).
-    keep &= (cum - sorted_probs) < meta.top_p[:, None]
-    keep |= rank == 0
-    # min-p: drop tokens below min_p * p_max.
-    keep &= sorted_probs >= meta.min_p[:, None] * sorted_probs[:, :1]
-
-    sorted_masked = jnp.where(keep, sorted_logits, _NEG_INF)
-    inv = jnp.argsort(sort_idx, axis=-1)
-    masked_logits = jnp.take_along_axis(sorted_masked, inv, axis=-1)
-
-    greedy = meta.temperature[:, None] == 0.0
-    temp = jnp.where(greedy, 1.0, meta.temperature[:, None])
-    z = masked_logits / temp
-    gumbel = -jnp.log(-jnp.log(jax.random.uniform(
-        key, (B, V), dtype=jnp.float32, minval=1e-20, maxval=1.0
+    temp = jnp.maximum(meta.temperature[:, None], 1e-6)
+    key_full, key_cand = jax.random.split(key)
+    gumbel_full = -jnp.log(-jnp.log(jax.random.uniform(
+        key_full, (B, V), dtype=jnp.float32, minval=1e-20, maxval=1.0
     )))
-    perturbed = jnp.where(greedy, logits, z + gumbel)
-    return jnp.argmax(perturbed, axis=-1).astype(jnp.int32)
+    full_tok = jnp.argmax(logits / temp + gumbel_full, axis=-1).astype(jnp.int32)
+
+    # Candidate space: values sorted descending + their token ids.
+    cand_logits, cand_idx = jax.lax.top_k(logits, kmax)  # [B, kmax]
+    cand_probs = jax.nn.softmax(cand_logits, axis=-1)
+    # NOTE: softmax over candidates only — correct for masks below because
+    # top-p/min-p thresholds are relative; the tail mass beyond kmax is
+    # negligible whenever filtering is active.
+    cum = jnp.cumsum(cand_probs, axis=-1)
+    rank = jax.lax.broadcasted_iota(jnp.int32, (B, kmax), 1)
+    keep = rank < jnp.minimum(meta.top_k, kmax)[:, None]
+    keep &= (cum - cand_probs) < meta.top_p[:, None]
+    keep |= rank == 0  # always keep the argmax
+    keep &= cand_probs >= meta.min_p[:, None] * cand_probs[:, :1]
+    masked = jnp.where(keep, cand_logits / temp, _NEG_INF)
+    gumbel_c = -jnp.log(-jnp.log(jax.random.uniform(
+        key_cand, (B, kmax), dtype=jnp.float32, minval=1e-20, maxval=1.0
+    )))
+    win = jnp.argmax(masked + gumbel_c, axis=-1)  # [B] position in cands
+    cand_tok = jnp.take_along_axis(cand_idx, win[:, None], axis=-1)[:, 0]
+
+    filtered = (
+        (meta.top_k < V) | (meta.top_p < 1.0) | (meta.min_p > 0.0)
+    )
+    tok = jnp.where(filtered, cand_tok, full_tok)
+    return jnp.where(meta.temperature == 0.0, greedy_tok, tok).astype(jnp.int32)
 
 
 def compute_token_logprobs(logits: jax.Array, token_ids: jax.Array) -> jax.Array:
