@@ -23,12 +23,18 @@ from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
 
 
 class AttentionBackend(abc.ABC):
-    """Stateless per-layer paged attention.
+    """Stateless per-layer paged attention over the FULL KV pool.
 
     Shapes:
         q, k_new, v_new : [B, T, H(q|kv), D]   (post-RoPE)
-        layer_kv        : [Hkv, P, page_size, 2, D]  (K/V folded in lanes)
-    Returns (attn_out [B, T, Hq, D], updated layer_kv).
+        kv_pool         : [L, Hkv, P, page_size, 2D]  (K|V folded in lanes)
+        layer           : traced int32 scalar — which pool layer to use
+    Returns (attn_out [B, T, Hq, D], updated kv_pool).
+
+    The pool is passed whole (and threaded through the model's layer scan
+    as the *carry*) so backends can update it in place: slicing it per
+    layer as scan xs/ys made XLA materialize three 128 MiB copies per
+    layer per step (measured ~50 ms/step for a 1B model on v5e, round 2).
     """
 
     @abc.abstractmethod
@@ -37,7 +43,8 @@ class AttentionBackend(abc.ABC):
         q: jax.Array,
         k_new: jax.Array,
         v_new: jax.Array,
-        layer_kv: jax.Array,
+        kv_pool: jax.Array,
+        layer: jax.Array,
         meta: ForwardMeta,
         scale: float,
         window=None,
@@ -52,18 +59,32 @@ class AttentionBackend(abc.ABC):
 def write_kv_pages(
     k_new: jax.Array,
     v_new: jax.Array,
-    layer_kv: jax.Array,
+    kv_pool: jax.Array,
+    layer,
     meta: ForwardMeta,
 ) -> jax.Array:
-    """Scatter this step's K/V into the paged pool.
+    """Scatter this step's K/V into layer ``layer`` of the paged pool.
 
     Padding tokens (t >= extend_lens[b]) are routed to the garbage page 0 so
-    the scatter stays branch-free (allocator.py GARBAGE_PAGE).
+    the scatter stays branch-free (allocator.py GARBAGE_PAGE). In-place on a
+    donated pool (one XLA scatter; no layer-slice copies).
     """
     import jax.numpy as jnp
 
-    B, T, Hkv, D = k_new.shape
-    _, P, ps = layer_kv.shape[:3]
+    kv_new = jnp.concatenate([k_new, v_new], axis=-1)  # [B, T, Hkv, 2D]
+    return write_kv_pages_folded(kv_new, kv_pool, layer, meta)
+
+
+def write_kv_pages_folded(
+    kv_new: jax.Array,  # [B, T, Hkv, F] — already K|V folded (or MLA latent)
+    kv_pool: jax.Array,
+    layer,
+    meta: ForwardMeta,
+) -> jax.Array:
+    import jax.numpy as jnp
+
+    B, T, Hkv, F = kv_new.shape
+    L, _, P, ps = kv_pool.shape[:4]
     pos = meta.positions  # [B, T]
     page = jnp.take_along_axis(meta.page_table, pos // ps, axis=1)  # [B, T]
     valid = (
@@ -71,10 +92,10 @@ def write_kv_pages(
         < meta.extend_lens[:, None]
     )
     slots = jnp.where(valid, page * ps + pos % ps, pos % ps)  # garbage page = 0
-    # [Hkv, B*T, 2, D] to match the pool's head-leading K/V-folded layout.
-    kv_new = jnp.stack([k_new, v_new], axis=3)  # [B, T, Hkv, 2, D]
-    kv_new = kv_new.reshape(B * T, Hkv, 2, D).transpose(1, 0, 2, 3)
-    kv_new = kv_new.astype(layer_kv.dtype)
-    flat = layer_kv.reshape(Hkv, P * ps, 2, D)
-    flat = flat.at[:, slots.reshape(-1)].set(kv_new, mode="drop")
-    return flat.reshape(layer_kv.shape)
+    # Update layout [N, Hkv, F]: advanced indices (layer, slots) are
+    # separated by the head slice, so the index grid ([N]) leads.
+    kv_new = kv_new.reshape(B * T, Hkv, F).astype(kv_pool.dtype)
+    flat = kv_pool.reshape(L, Hkv, P * ps, F)
+    # Not unique_indices: padding rows collide on garbage slot 0 by design.
+    flat = flat.at[layer, :, slots.reshape(-1)].set(kv_new, mode="drop")
+    return flat.reshape(kv_pool.shape)

@@ -3,13 +3,17 @@
 Analog of the reference's flashinfer/triton backends
 (reference: srt/layers/attention/flashinfer_backend.py — the default CUDA
 production backend chosen by model_runner.py:1313). Decode (T==1) runs the
-Pallas ragged-paged decode kernel; extend runs the chunked-prefill kernel
-(causal within the extend, full over the cached prefix).
+Pallas ragged-paged decode kernel with the step's KV insert FUSED into the
+kernel (the pool is updated in place via input_output_aliases — no XLA
+scatter, no pool copies); extend scatters the new KV once, then runs the
+chunked-prefill kernel (causal within the extend, full over the cached
+prefix).
 """
 
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from sglang_custom_tpu.layers.attention.base import AttentionBackend, write_kv_pages
 from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
@@ -28,18 +32,23 @@ class PallasAttentionBackend(AttentionBackend):
         q: jax.Array,
         k_new: jax.Array,
         v_new: jax.Array,
-        layer_kv: jax.Array,
+        kv_pool: jax.Array,
+        layer: jax.Array,
         meta: ForwardMeta,
         scale: float,
         window=None,
         softcap: float = 0.0,
     ):
         B, T, Hq, D = q.shape
-        layer_kv = write_kv_pages(k_new, v_new, layer_kv, meta)
         if T == 1:
-            out = paged_attention_decode(
+            kv_new = jnp.concatenate(
+                [k_new[:, 0], v_new[:, 0]], axis=-1
+            )  # [B, Hkv, 2D] folded
+            out, kv_pool = paged_attention_decode(
                 q[:, 0],
-                layer_kv,
+                kv_new,
+                kv_pool,
+                layer,
                 meta.page_table,
                 meta.seq_lens,
                 scale=scale,
@@ -47,10 +56,12 @@ class PallasAttentionBackend(AttentionBackend):
                 softcap=softcap,
                 interpret=self.interpret,
             )
-            return out[:, None], layer_kv
+            return out[:, None], kv_pool
+        kv_pool = write_kv_pages(k_new, v_new, kv_pool, layer, meta)
         out = paged_attention_extend(
             q,
-            layer_kv,
+            kv_pool,
+            layer,
             meta.page_table,
             meta.seq_lens,
             meta.extend_lens,
@@ -59,4 +70,4 @@ class PallasAttentionBackend(AttentionBackend):
             softcap=softcap,
             interpret=self.interpret,
         )
-        return out, layer_kv
+        return out, kv_pool

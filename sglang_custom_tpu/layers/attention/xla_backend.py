@@ -25,23 +25,27 @@ class XlaAttentionBackend(AttentionBackend):
         q: jax.Array,
         k_new: jax.Array,
         v_new: jax.Array,
-        layer_kv: jax.Array,
+        kv_pool: jax.Array,
+        layer: jax.Array,
         meta: ForwardMeta,
         scale: float,
         window=None,
         softcap: float = 0.0,
     ):
-        layer_kv = write_kv_pages(k_new, v_new, layer_kv, meta)
+        kv_pool = write_kv_pages(k_new, v_new, kv_pool, layer, meta)
+        layer_kv = jax.lax.dynamic_index_in_dim(
+            kv_pool, layer, axis=0, keepdims=False
+        )
 
         B, T, Hq, D = q.shape
         Hkv, P, ps = layer_kv.shape[:3]
         G = Hq // Hkv
         S = meta.page_table.shape[1] * ps  # padded context length (bucketed)
 
-        # Gather the pages of every request: [Hkv, B, PMAX, ps, 2, D]
+        # Gather the pages of every request: [Hkv, B, PMAX, ps, 2D]
         gathered = layer_kv[:, meta.page_table]
-        k = gathered[..., 0, :].reshape(Hkv, B, S, D)
-        v = gathered[..., 1, :].reshape(Hkv, B, S, D)
+        k = gathered[..., :D].reshape(Hkv, B, S, D)
+        v = gathered[..., D:].reshape(Hkv, B, S, D)
 
         qg = q.reshape(B, T, Hkv, G, D)
         scores = jnp.einsum(
@@ -64,4 +68,4 @@ class XlaAttentionBackend(AttentionBackend):
             "bktgs,kbsd->btkgd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         )
-        return out.reshape(B, T, Hq, D).astype(q.dtype), layer_kv
+        return out.reshape(B, T, Hq, D).astype(q.dtype), kv_pool

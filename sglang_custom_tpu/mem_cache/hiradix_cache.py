@@ -42,14 +42,14 @@ class HostKVPool:
     """Pinned host DRAM page pool mirroring the device pool's page layout.
 
     Analog of the reference's HostKVCache (mem_cache/memory_pool_host.py).
-    Layout [host_pages, L, Hkv, ps, 2, D] — page-major so one memcpy moves
-    a page.
+    Layout [host_pages, L, Hkv, ps, 2D] — page-major so one memcpy moves
+    a page (the trailing dim is the device pool's K|V-folded feature dim).
     """
 
     def __init__(self, num_pages: int, device_kv_shape, dtype):
-        L, Hkv, _, ps, two, D = device_kv_shape
+        L, Hkv, _, ps, F = device_kv_shape
         self.num_pages = num_pages
-        self.data = np.zeros((num_pages, L, Hkv, ps, two, D), dtype)
+        self.data = np.zeros((num_pages, L, Hkv, ps, F), dtype)
         self._free = list(range(num_pages - 1, -1, -1))
 
     @property

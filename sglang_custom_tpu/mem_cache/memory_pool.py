@@ -5,18 +5,18 @@ TPU-native re-design of the reference's KV pools
 — per-layer K/V torch tensors indexed at token granularity). Here the pool
 is a single fused jax array with layout
 
-    kv[L, num_kv_heads, num_pages, page_size, 2, head_dim]
+    kv[L, num_kv_heads, num_pages, page_size, 2*head_dim]
 
-K and V of one token are adjacent along the minor axis (folded lane view
-``[..., page_size, 2*head_dim]``), and head/page are *leading* dims. This
-layout is chosen for the Pallas ragged-paged-attention kernel: one DMA per
-page moves K and V together, the folded minor dim ``2*head_dim`` is
-128-lane aligned for every head_dim % 64 == 0 (Mosaic rejects DMA slices
-whose minor dim isn't tile-aligned — which rules out a K/V-split layout
-for D=64 model families), and per-page / per-head slices cut exclusively
-untiled leading dims. The array is *donated* through every jitted step so
-XLA aliases the buffer in place — the functional-update analog of the
-reference mutating torch tensors.
+K and V of one token are adjacent along the minor axis (K at lanes [:D],
+V at [D:]), and head/page are *leading* dims. This layout is chosen for
+the Pallas ragged-paged-attention kernel: one DMA per page moves K and V
+together, the folded minor dim ``2*head_dim`` is 128-lane aligned for
+every head_dim % 64 == 0 (Mosaic rejects DMA slices whose minor dim isn't
+tile-aligned — which rules out a K/V-split layout for D=64 model
+families), and per-page / per-head slices cut exclusively untiled leading
+dims. The array is *donated* through every jitted step (threaded as the
+layer-scan carry) so XLA aliases the buffer in place — the
+functional-update analog of the reference mutating torch tensors.
 
 Sharding: kv heads are split over the ``tensor`` mesh axis (same axis as
 attention heads in the weights), so KV never moves across chips during
@@ -36,15 +36,20 @@ from sglang_custom_tpu.parallel.mesh import MeshContext, TENSOR_AXIS
 
 
 def kv_cache_shape(cfg: ModelConfig, num_pages: int, page_size: int):
+    """Pool shape [L, Hkv, P, ps, F] with K and V of one token FOLDED along
+    the minor axis (K at lanes [:D], V at [D:]). The fold is the canonical
+    storage — not a view — so the Pallas kernels' default-layout constraint
+    propagates to the pool parameter with no reshape boundary (a trailing
+    [2, D] shape made XLA layout assignment insert full-pool transpose
+    copies around every kernel call — measured round 2)."""
     if cfg.is_mla:
         # MLA latent pool (reference: MLATokenToKVPool memory_pool.py:769):
-        # one (kv_lora_rank + rope_dim) latent per token, stored as a
-        # "1-head" pool with the latent halved across the K/V axis so the
-        # page layout stays uniform with MHA.
-        feat = cfg.kv_dim_per_token
-        assert feat % 2 == 0, f"MLA latent dim {feat} must be even"
-        return (cfg.num_layers, 1, num_pages, page_size, 2, feat // 2)
-    return (cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, 2, cfg.head_dim)
+        # one (kv_lora_rank + rope_dim) latent per token as a "1-head" pool.
+        return (cfg.num_layers, 1, num_pages, page_size, cfg.kv_dim_per_token)
+    return (
+        cfg.num_layers, cfg.num_kv_heads, num_pages, page_size,
+        2 * cfg.head_dim,
+    )
 
 
 def kv_cache_sharding(mesh_ctx: MeshContext, num_kv_heads: int):
@@ -53,7 +58,7 @@ def kv_cache_sharding(mesh_ctx: MeshContext, num_kv_heads: int):
     attends over the full latent, like the reference's dp-attention MLA
     layout, layers/dp_attention.py.)"""
     if num_kv_heads % mesh_ctx.tp_size == 0 and mesh_ctx.tp_size > 1:
-        return mesh_ctx.sharding(None, TENSOR_AXIS, None, None, None, None)
+        return mesh_ctx.sharding(None, TENSOR_AXIS, None, None, None)
     return mesh_ctx.replicated
 
 
@@ -61,8 +66,12 @@ def kv_cache_sharding(mesh_ctx: MeshContext, num_kv_heads: int):
 class KVCachePool:
     """Owns the device KV array and its geometry."""
 
-    kv: jax.Array  # [L, Hkv, P, page_size, 2, D]
+    kv: jax.Array  # [L, Hkv, P, page_size, 2*D] (K|V folded in lanes)
     page_size: int
+    # Format (layout+sharding) the pool is pinned to; step executables must
+    # declare it via jit in_shardings/out_shardings or XLA re-layouts the
+    # donated pool at every dispatch (see create()).
+    fmt: object = None
 
     @property
     def num_pages(self) -> int:
@@ -74,7 +83,7 @@ class KVCachePool:
 
     @property
     def head_dim(self) -> int:
-        return self.kv.shape[5]
+        return self.kv.shape[4] // 2
 
     @staticmethod
     def create(
@@ -88,8 +97,25 @@ class KVCachePool:
         sharding = kv_cache_sharding(
             mesh_ctx, 1 if cfg.is_mla else cfg.num_kv_heads
         )
-        kv = jax.device_put(jnp.zeros(shape, dtype=dtype), sharding)
-        return KVCachePool(kv=kv, page_size=page_size)
+        # Pin the default major-to-minor layout: left unconstrained, XLA's
+        # layout assignment picked a pages-minor layout for the pool
+        # parameter, forcing two 2 GiB transpose-copies per layer around
+        # the Pallas kernel (which requires the default layout). Measured
+        # round 2: 222 ms/step vs <20 ms with the pin.
+        try:
+            from jax.experimental.layout import Format, Layout
+
+            if not isinstance(sharding, jax.sharding.NamedSharding):
+                sharding = jax.sharding.SingleDeviceSharding(
+                    mesh_ctx.mesh.devices.flat[0]
+                )
+            fmt = Format(
+                Layout(major_to_minor=tuple(range(len(shape)))), sharding
+            )
+        except Exception:  # older jax: fall back to sharding only
+            fmt = sharding
+        kv = jax.device_put(jnp.zeros(shape, dtype=dtype), fmt)
+        return KVCachePool(kv=kv, page_size=page_size, fmt=fmt)
 
     def mem_bytes(self) -> int:
         return self.kv.size * self.kv.dtype.itemsize
@@ -121,7 +147,7 @@ _scatter_fn = None
 
 
 def gather_pages(pool: "KVCachePool", pages) -> np.ndarray:
-    """Fetch whole KV pages device->host as [n, L, Hkv, ps, 2, D]
+    """Fetch whole KV pages device->host as [n, L, Hkv, ps, 2D]
     (the transfer unit for HiCache offload and PD disaggregation —
     reference: sgl-kernel csrc/kvcacheio/transfer.cu)."""
     n = len(pages)

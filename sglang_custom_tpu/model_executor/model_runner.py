@@ -107,6 +107,45 @@ class ModelRunner:
         # set by the Engine when expert-distribution recording is on
         # (eplb/expert_distribution.py)
         self.expert_recorder = None
+        self._build_step_fns()
+
+    def _build_step_fns(self):
+        """Jit the step variants with the pool's pinned layout declared at
+        the entry/exit (in_shardings/out_shardings). Without the pin, XLA's
+        layout assignment chose a pages-minor pool layout and either
+        re-laid-out the donated pool at every dispatch or inserted 2 GiB
+        transpose-copies per layer around the Pallas kernel (measured
+        round 2: 220-320 ms/step vs <20 ms pinned)."""
+        fmt = self.kv_pool.fmt
+
+        def jit_kv(fn, n_extra, static=(), n_out_extra=1, donate=(1,)):
+            # args: (params, kv, *extra) -> (kv, *outs)
+            return jax.jit(
+                fn,
+                static_argnums=static,
+                donate_argnums=donate,
+                in_shardings=(None, fmt) + (None,) * n_extra,
+                out_shardings=(fmt,) + (None,) * n_out_extra,
+            )
+
+        self._step_packed = jit_kv(
+            self._step_packed_impl, 1, static=(2, 3, 4)
+        )
+        self._burst_packed = jit_kv(
+            self._burst_packed_impl, 1, static=(2, 3, 4, 5)
+        )
+        self._step_mm = jit_kv(self._step_mm_impl, 5, n_out_extra=2)
+        self._step_embed = jit_kv(self._step_embed_impl, 1)
+        self._step_recorded = jit_kv(
+            self._step_recorded_impl, 3, n_out_extra=3
+        )
+        self._step_lora = jit_kv(self._step_lora_impl, 6, n_out_extra=2)
+        self._step_input_logprobs = jit_kv(
+            self._step_input_logprobs_impl, 7, n_out_extra=3
+        )
+        self._step_penalized = jit_kv(
+            self._step_penalized_impl, 7, n_out_extra=2
+        )
 
     def _create_attn_backend(self):
         """Backend dispatch (reference: model_runner.py:1313): Pallas on TPU,
@@ -247,10 +286,7 @@ class ModelRunner:
         logprobs = out_np[n:].view(np.float32).reshape(shape)
         return tokens, logprobs
 
-    @functools.partial(
-        jax.jit, static_argnums=(0, 3, 4, 5), donate_argnums=(2,)
-    )
-    def _step_packed(self, params, kv, B: int, T: int, P: int, packed):
+    def _step_packed_impl(self, params, kv, B: int, T: int, P: int, packed):
         meta, smeta, key = self._unpack_meta(packed, B, T, P)
         hidden, kv = self.model.forward(
             params, self.cfg, meta, kv, self.attn_backend
@@ -260,11 +296,8 @@ class ModelRunner:
         logprobs = compute_token_logprobs(logits, tokens)
         return kv, self._pack_out(tokens, logprobs)
 
-    @functools.partial(
-        jax.jit, static_argnums=(0, 3, 4, 5, 6), donate_argnums=(2,)
-    )
-    def _burst_packed(self, params, kv, B: int, T: int, P: int, K: int,
-                      packed):
+    def _burst_packed_impl(self, params, kv, B: int, T: int, P: int, K: int,
+                           packed):
         from jax import lax
 
         meta, smeta, key = self._unpack_meta(packed, B, T, P)
@@ -292,8 +325,7 @@ class ModelRunner:
         (kv, _, _, _), (toks, lps) = lax.scan(step_fn, init, jnp.arange(K))
         return kv, self._pack_out(toks.T, lps.T)
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _step_mm(
+    def _step_mm_impl(
         self, params, kv, meta: ForwardMeta, smeta: SamplingMeta,
         mm_override, mm_mask, key,
     ):
@@ -326,8 +358,7 @@ class ModelRunner:
         out = self._encode_images_jit(self.params, jnp.asarray(pixel_values))
         return np.asarray(out)[:N]
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _step_embed(self, params, kv, meta: ForwardMeta):
+    def _step_embed_impl(self, params, kv, meta: ForwardMeta):
         """Embedding step: pooled, L2-normalized final hidden states instead
         of sampled tokens (reference: serving_embedding.py + the pooler in
         srt/layers/pooler.py; last-token pooling as in e5-mistral)."""
@@ -363,8 +394,7 @@ class ModelRunner:
             lora=lora, lora_ids=lora_ids, lora_scale=lora_scale,
         )
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _step_recorded(
+    def _step_recorded_impl(
         self, params, kv, meta: ForwardMeta, smeta: SamplingMeta, key
     ):
         """Step that also returns per-layer expert-routing counts [L, E]
@@ -378,8 +408,7 @@ class ModelRunner:
         logprobs = compute_token_logprobs(logits, tokens)
         return kv, tokens, logprobs, counts
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _step_lora(
+    def _step_lora_impl(
         self, params, kv, meta: ForwardMeta, smeta: SamplingMeta,
         lora, lora_ids, lora_scale, key,
     ):
@@ -393,8 +422,7 @@ class ModelRunner:
         logprobs = compute_token_logprobs(logits, tokens)
         return kv, tokens, logprobs
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _step_input_logprobs(
+    def _step_input_logprobs_impl(
         self, params, kv, meta: ForwardMeta, smeta: SamplingMeta,
         target_ids, key, lora=None, lora_ids=None, lora_scale=None,
     ):
@@ -423,8 +451,7 @@ class ModelRunner:
         )[..., 0]
         return kv, tokens, logprobs, tgt - logz
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _step_penalized(
+    def _step_penalized_impl(
         self, params, kv, meta: ForwardMeta, smeta: SamplingMeta,
         pmeta: PenaltyMeta, key, lora=None, lora_ids=None, lora_scale=None,
     ):
@@ -541,7 +568,7 @@ class ModelRunner:
             targets = jnp.asarray(pad(batch.ilp_targets, (Bp, Tp)))
             kv, tokens, logprobs, ilp = self._step_input_logprobs(
                 self.params, self.kv_pool.kv, meta, smeta, targets, key,
-                lora=lora, lora_ids=lora_ids, lora_scale=lora_scale,
+                lora, lora_ids, lora_scale,
             )
             self.kv_pool.kv = kv
             batch.input_logprobs = np.asarray(ilp)[:B]
@@ -591,7 +618,7 @@ class ModelRunner:
             )
             kv, tokens, logprobs = self._step_penalized(
                 self.params, self.kv_pool.kv, meta, smeta, pmeta, key,
-                lora=lora, lora_ids=lora_ids, lora_scale=lora_scale,
+                lora, lora_ids, lora_scale,
             )
         self.kv_pool.kv = kv
         return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]

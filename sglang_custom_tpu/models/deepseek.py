@@ -313,7 +313,7 @@ def _moe_ffn(x: jax.Array, lp: dict, cfg: ModelConfig):
     return routed, group_sizes.astype(jnp.int32)
 
 
-def _mla_block(x, lp, kv_l, cfg: ModelConfig, meta, cos, sin, scale):
+def _mla_block(x, lp, kv, li, cfg: ModelConfig, meta, cos, sin, scale):
     """One MLA attention block with absorbed W_UK/W_UV."""
     B, T = meta.token_ids.shape
     Hq = cfg.num_q_heads
@@ -343,12 +343,12 @@ def _mla_block(x, lp, kv_l, cfg: ModelConfig, meta, cos, sin, scale):
     w_uv = kv_b[:, n:]   # [Hq, v, R]
     q_lat = jnp.einsum("bthn,hnr->bthr", q_nope, w_uk)
 
-    out_lat, kv_l = mla_paged_attention(
-        q_lat, q_pe, c, k_pe, kv_l, meta, scale
+    out_lat, kv = mla_paged_attention(
+        q_lat, q_pe, c, k_pe, kv, li, meta, scale
     )
     out = jnp.einsum("bthr,hvr->bthv", out_lat, w_uv)
     x = x + mm(out.reshape(B, T, Hq * v), lp["o_proj"])
-    return x, kv_l
+    return x, kv
 
 
 def forward(
@@ -370,34 +370,36 @@ def forward(
     )
     cos, sin = rope_cos_sin(meta.positions, inv_freq)
 
-    def dense_layer(x, xs):
-        lp, kv_l = xs
-        x, kv_l = _mla_block(x, lp, kv_l, cfg, meta, cos, sin, scale)
+    def dense_layer(carry, xs):
+        x, kv = carry
+        lp, li = xs
+        x, kv = _mla_block(x, lp, kv, li, cfg, meta, cos, sin, scale)
         h = rms_norm(x, lp["post_norm"], eps)
         gate = mm(h, lp["gate_proj"])
         up = mm(h, lp["up_proj"])
         x = x + mm(jax.nn.silu(gate) * up, lp["down_proj"])
-        return x, kv_l
+        return (x, kv), None
 
-    def moe_layer(x, xs):
-        lp, kv_l = xs
-        x, kv_l = _mla_block(x, lp, kv_l, cfg, meta, cos, sin, scale)
+    def moe_layer(carry, xs):
+        x, kv = carry
+        lp, li = xs
+        x, kv = _mla_block(x, lp, kv, li, cfg, meta, cos, sin, scale)
         h = rms_norm(x, lp["post_norm"], eps)
         moe_out, counts = _moe_ffn(h.reshape(B * T, -1), lp, cfg)
         x = x + moe_out.reshape(B, T, -1)
-        if record_experts:
-            return x, (kv_l, counts)
-        return x, kv_l
+        return (x, kv), counts if record_experts else None
 
-    x, kv_dense = lax.scan(
-        dense_layer, x, (params["dense_layers"], kv_cache[:Kd])
+    L = cfg.num_layers
+    (x, kv), _ = lax.scan(
+        dense_layer, (x, kv_cache),
+        (params["dense_layers"], jnp.arange(Kd, dtype=jnp.int32)),
     )
-    x, ys = lax.scan(moe_layer, x, (params["moe_layers"], kv_cache[Kd:]))
+    (x, new_kv), ys = lax.scan(
+        moe_layer, (x, kv),
+        (params["moe_layers"], jnp.arange(Kd, L, dtype=jnp.int32)),
+    )
     if record_experts:
-        kv_moe, counts = ys
-    else:
-        kv_moe = ys
-    new_kv = jnp.concatenate([kv_dense, kv_moe], axis=0)
+        counts = ys
     normed = rms_norm(x, params["final_norm"], eps)
     if record_experts:
         # dense prefix layers contribute zero counts

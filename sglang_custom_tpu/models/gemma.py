@@ -198,13 +198,14 @@ def forward(
     else:
         cos_l = sin_l = None
 
-    def layer_fn(x, xs):
+    def layer_fn(carry, xs):
+        x, kv = carry
         if cfg.rope_local_theta:
-            lp, kv_l, win, local = xs
+            lp, li, win, local = xs
             cos = jnp.where(local, cos_l, cos_g)
             sin = jnp.where(local, sin_l, sin_g)
         else:
-            lp, kv_l, win = xs
+            lp, li, win = xs
             cos, sin = cos_g, sin_g
         h = rms_norm(x, lp["attn_norm"], eps)
         q = mm(h, lp["q_proj"]).reshape(B, T, Hq, D)
@@ -216,8 +217,8 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        attn_out, kv_l = attn_backend(
-            q, k, v, kv_l, meta, scale, window=win, softcap=softcap
+        attn_out, kv = attn_backend(
+            q, k, v, kv, li, meta, scale, window=win, softcap=softcap
         )
         attn_out = mm(attn_out.reshape(B, T, Hq * D), lp["o_proj"])
         x = x + rms_norm(attn_out, lp["post_attn_norm"], eps)
@@ -228,13 +229,14 @@ def forward(
         act = jax.nn.gelu(gate, approximate=True) if cfg.hidden_act == "gelu_tanh" else jax.nn.silu(gate)
         h = mm(act * up, lp["down_proj"])
         x = x + rms_norm(h, lp["post_ffn_norm"], eps)
-        return x, kv_l
+        return (x, kv), None
 
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
     if cfg.rope_local_theta:
-        xs = (params["layers"], kv_cache, windows, is_local)
+        xs = (params["layers"], layer_ids, windows, is_local)
     else:
-        xs = (params["layers"], kv_cache, windows)
-    x, new_kv = lax.scan(layer_fn, x, xs)
+        xs = (params["layers"], layer_ids, windows)
+    (x, new_kv), _ = lax.scan(layer_fn, (x, kv_cache), xs)
     return rms_norm(x, params["final_norm"], cfg.rms_norm_eps), new_kv
 
 

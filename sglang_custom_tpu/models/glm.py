@@ -143,8 +143,9 @@ def forward(
     inv_freq = jnp.asarray(rope_inv_freq_base(rd, cfg.rope_theta))
     cos, sin = rope_cos_sin(meta.positions, inv_freq)  # [B, T, rd/2]
 
-    def layer_fn(x, xs):
-        lp, kv_l = xs
+    def layer_fn(carry, xs):
+        x, kv = carry
+        lp, li = xs
         h = rms_norm(x, lp["input_norm"], eps)
         q = mm(h, lp["q_proj"])
         k = mm(h, lp["k_proj"])
@@ -159,7 +160,7 @@ def forward(
         q = _apply_partial_rope(q, cos, sin, rd)
         k = _apply_partial_rope(k, cos, sin, rd)
 
-        attn_out, kv_l = attn_backend(q, k, v, kv_l, meta, scale)
+        attn_out, kv = attn_backend(q, k, v, kv, li, meta, scale)
         attn_out = mm(attn_out.reshape(B, T, Hq * D), lp["o_proj"])
         if sandwich:
             attn_out = rms_norm(attn_out, lp["post_attn_norm"], eps)
@@ -172,9 +173,12 @@ def forward(
         if sandwich:
             mlp = rms_norm(mlp, lp["post_mlp_norm"], eps)
         x = x + mlp
-        return x, kv_l
+        return (x, kv), None
 
-    x, new_kv = lax.scan(layer_fn, x, (params["layers"], kv_cache))
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    (x, new_kv), _ = lax.scan(
+        layer_fn, (x, kv_cache), (params["layers"], layer_ids)
+    )
     return rms_norm(x, params["final_norm"], eps), new_kv
 
 

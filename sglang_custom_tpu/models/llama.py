@@ -188,11 +188,12 @@ def forward_features(
     inv_freq = jnp.asarray(rope_inv_freq(cfg))
     cos, sin = rope_cos_sin(meta.positions, inv_freq)  # [B, T, D/2]
 
-    def layer_fn(x, xs):
+    def layer_fn(carry, xs):
+        x, kv = carry
         if lora is not None:
-            lp, kv_l, ll = xs
+            lp, li, ll = xs
         else:
-            (lp, kv_l), ll = xs, None
+            (lp, li), ll = xs, None
         h = rms_norm(x, lp["input_norm"], eps)
         q = lora_mm(h, lp["q_proj"], ll, "q_proj", lora_ids, lora_scale)
         k = lora_mm(h, lp["k_proj"], ll, "k_proj", lora_ids, lora_scale)
@@ -211,7 +212,7 @@ def forward_features(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        attn_out, kv_l = attn_backend(q, k, v, kv_l, meta, scale)
+        attn_out, kv = attn_backend(q, k, v, kv, li, meta, scale)
         x = x + lora_mm(
             attn_out.reshape(B, T, Hq * D), lp["o_proj"], ll, "o_proj",
             lora_ids, lora_scale,
@@ -224,12 +225,16 @@ def forward_features(
             jax.nn.silu(gate) * up, lp["down_proj"], ll, "down_proj",
             lora_ids, lora_scale,
         )
-        return x, kv_l
+        return (x, kv), None
 
-    xs = (params["layers"], kv_cache)
+    # The KV pool rides the scan CARRY (not xs/ys): slicing it per layer
+    # made XLA copy the layer slice three times per iteration; as carry the
+    # backends update it in place (base.py AttentionBackend docstring).
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    xs = (params["layers"], layer_ids)
     if lora is not None:
         xs = xs + (lora,)
-    x, new_kv = lax.scan(layer_fn, x, xs)
+    (x, new_kv), _ = lax.scan(layer_fn, (x, kv_cache), xs)
     return x, new_kv
 
 

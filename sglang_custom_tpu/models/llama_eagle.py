@@ -115,22 +115,26 @@ def forward(
     inv_freq = jnp.asarray(rope_inv_freq(cfg))
     cos, sin = rope_cos_sin(meta.positions, inv_freq)
 
-    def layer_fn(x, xs):
-        lp, kv_l = xs
+    def layer_fn(carry, xs):
+        x, kv = carry
+        lp, li = xs
         h = rms_norm(x, lp["input_norm"], eps)
         q = mm(h, lp["q_proj"]).reshape(B, T, Hq, D)
         k = mm(h, lp["k_proj"]).reshape(B, T, Hkv, D)
         v = mm(h, lp["v_proj"]).reshape(B, T, Hkv, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        attn_out, kv_l = attn_backend(q, k, v, kv_l, meta, scale)
+        attn_out, kv = attn_backend(q, k, v, kv, li, meta, scale)
         x = x + mm(attn_out.reshape(B, T, Hq * D), lp["o_proj"])
         h = rms_norm(x, lp["post_norm"], eps)
         x = x + mm(jax.nn.silu(mm(h, lp["gate_proj"])) * mm(h, lp["up_proj"]),
                    lp["down_proj"])
-        return x, kv_l
+        return (x, kv), None
 
-    x, new_kv = lax.scan(layer_fn, x, (params["layers"], kv_cache))
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    (x, new_kv), _ = lax.scan(
+        layer_fn, (x, kv_cache), (params["layers"], layer_ids)
+    )
     return x, new_kv
 
 

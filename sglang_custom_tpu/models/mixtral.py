@@ -199,8 +199,9 @@ def forward_features(
     inv_freq = jnp.asarray(rope_inv_freq(cfg))
     cos, sin = rope_cos_sin(meta.positions, inv_freq)
 
-    def layer_fn(x, xs):
-        lp, kv_l = xs
+    def layer_fn(carry, xs):
+        x, kv = carry
+        lp, li = xs
         h = rms_norm(x, lp["input_norm"], eps)
         q = jnp.einsum("bth,hd->btd", h, lp["q_proj"])
         k = jnp.einsum("bth,hd->btd", h, lp["k_proj"])
@@ -218,7 +219,7 @@ def forward_features(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        attn_out, kv_l = attn_backend(q, k, v, kv_l, meta, scale)
+        attn_out, kv = attn_backend(q, k, v, kv, li, meta, scale)
         x = x + jnp.einsum(
             "btd,dh->bth", attn_out.reshape(B, T, Hq * D), lp["o_proj"]
         )
@@ -227,14 +228,16 @@ def forward_features(
         moe_out, counts = moe_ffn(h.reshape(B * T, -1), lp, cfg)
         x = x + moe_out.reshape(B, T, -1)
         if record_experts:
-            return x, (kv_l, counts)
-        return x, kv_l
+            return (x, kv), counts
+        return (x, kv), None
 
-    x, ys = lax.scan(layer_fn, x, (params["layers"], kv_cache))
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    (x, new_kv), ys = lax.scan(
+        layer_fn, (x, kv_cache), (params["layers"], layer_ids)
+    )
     if record_experts:
-        new_kv, counts = ys
-        return x, new_kv, counts  # counts: [L, E]
-    return x, ys
+        return x, new_kv, ys  # ys: per-layer expert counts [L, E]
+    return x, new_kv
 
 
 compute_last_logits = llama_mod.compute_last_logits

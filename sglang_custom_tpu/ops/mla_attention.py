@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sglang_custom_tpu.layers.attention.base import write_kv_pages
+from sglang_custom_tpu.layers.attention.base import write_kv_pages_folded
 from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
 
 _NEG_INF = -1e30
@@ -35,28 +35,26 @@ def mla_paged_attention(
     q_pe: jax.Array,       # [B, T, Hq, Dr]  (post-rope)
     ckv_new: jax.Array,    # [B, T, R]       (post kv_a_layernorm)
     kpe_new: jax.Array,    # [B, T, Dr]      (post-rope, shared head)
-    layer_kv: jax.Array,   # [1, P, ps, 2, F/2] latent pool, F = R + Dr
+    kv_pool: jax.Array,    # [L, 1, P, ps, F] latent pool, F = R + Dr
+    layer,                 # traced int32 scalar
     meta: ForwardMeta,
     scale: float,
 ):
-    """Returns (out_latent [B, T, Hq, R], updated layer_kv). The caller
+    """Returns (out_latent [B, T, Hq, R], updated kv_pool). The caller
     projects out_latent through W_UV per head."""
     B, T, Hq, R = q_latent.shape
     Dr = q_pe.shape[-1]
     F = R + Dr
-    F2 = F // 2
-    _, P, ps = layer_kv.shape[:3]
+    L, _, P, ps = kv_pool.shape[:4]
 
     latent = jnp.concatenate([ckv_new, kpe_new], axis=-1)  # [B, T, F]
-    layer_kv = write_kv_pages(
-        latent[..., :F2][:, :, None, :],
-        latent[..., F2:][:, :, None, :],
-        layer_kv,
-        meta,
+    kv_pool = write_kv_pages_folded(
+        latent[:, :, None, :], kv_pool, layer, meta
     )
+    layer_kv = jax.lax.dynamic_index_in_dim(kv_pool, layer, 0, keepdims=False)
 
     S = meta.page_table.shape[1] * ps
-    gathered = layer_kv[0, meta.page_table]  # [B, PMAX, ps, 2, F2]
+    gathered = layer_kv[0, meta.page_table]  # [B, PMAX, ps, F]
     lat = gathered.reshape(B, S, F).astype(jnp.float32)
     ckv = lat[..., :R]   # [B, S, R] — both the keys and the values
     kpe = lat[..., R:]   # [B, S, Dr]
@@ -82,4 +80,4 @@ def mla_paged_attention(
     out = jnp.einsum(
         "bhts,bsr->bthr", probs, ckv, preferred_element_type=jnp.float32
     )  # [B, T, Hq, R]
-    return out.astype(q_latent.dtype), layer_kv
+    return out.astype(q_latent.dtype), kv_pool

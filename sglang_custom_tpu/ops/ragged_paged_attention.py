@@ -69,10 +69,10 @@ def _strip_pages(page_size: int, kv_dtype) -> int:
 
 
 def _strip_dmas(kv_ref, kv_scratch, sems, page_table_ref, *,
-                slot, strip, kb, ps, pmax, row_off):
+                layer, slot, strip, kb, ps, pmax, row_off):
     """The KB page-DMAs of one strip: HBM pages -> contiguous scratch run.
 
-    kv_ref     : [Hkv, P, ps, 2D] (HBM)
+    kv_ref     : [L, Hkv, P, ps, 2D] (HBM, full pool); ``layer`` selects L
     kv_scratch : [2slots, Hkv, KB*ps, 2D] (VMEM)
     sems       : [2slots, KB]
     """
@@ -83,7 +83,7 @@ def _strip_dmas(kv_ref, kv_scratch, sems, page_table_ref, *,
         page = page_table_ref[row_off + idx]
         dmas.append(
             pltpu.make_async_copy(
-                kv_ref.at[:, page],
+                kv_ref.at[layer, :, page],
                 kv_scratch.at[slot, :, pl.ds(j * ps, ps)],
                 sems.at[slot, j],
             )
@@ -132,14 +132,18 @@ def _decode_kernel(
     page_table_ref,  # [B * PMAX] int32 (SMEM)
     seq_lens_ref,    # [B] int32 (SMEM)
     window_ref,      # [1] int32 (SMEM) — sliding window (FULL_WINDOW = none)
+    layer_ref,       # [1] int32 (SMEM) — which pool layer
     # inputs
     q_ref,           # [1, Hq, D or 2D] (VMEM block)
-    kv_ref,          # [Hkv, P, ps, 2D] (HBM / ANY)
+    kvnew_ref,       # [1, Hkv, 2D] (VMEM block) — this step's K|V for row b
+    kv_ref,          # [L, Hkv, P, ps, 2D] (HBM / ANY) — full pool
     # outputs
     o_ref,           # [1, Hq, D or 2D] (VMEM block)
+    kv_out_ref,      # [L, Hkv, P, ps, 2D] (HBM) — aliased with kv_ref
     # scratch
     kv_scratch,      # [2, Hkv, KB*ps, 2D] (VMEM)
     sems,            # [2, KB] DMA semaphores
+    wb_sem,          # () DMA semaphore for the page write-back
     *,
     scale: float,
     pmax: int,
@@ -149,6 +153,12 @@ def _decode_kernel(
     fold: bool,
     softcap: float,
 ):
+    """Fused decode: writes this step's K/V token into its page *inside the
+    kernel* (the page is read-modify-written while it is already in VMEM for
+    attention), so the step needs no separate XLA scatter and the pool is
+    updated in place via input_output_aliases. This replaces the reference's
+    set_kv_buffer + decode kernel pair (srt/layers/attention/
+    triton_ops/decode_attention.py) with one pass over the data."""
     b = pl.program_id(0)
     ps = kv_scratch.shape[2] // kb
     S = kv_scratch.shape[2]
@@ -156,6 +166,7 @@ def _decode_kernel(
     Dq = q_ref.shape[2]      # D (split) or 2D (folded)
     Hq = q_ref.shape[1]
     G = Hq // num_kv_heads
+    layer = layer_ref[0]
 
     seq_len = seq_lens_ref[b]
     n_strips = pl.cdiv(seq_len, S)
@@ -164,10 +175,27 @@ def _decode_kernel(
     lo = jnp.maximum(seq_len - window_ref[0], 0)
     first = lo // S
 
+    # The new token lives at position seq_len-1 — always in the LAST strip,
+    # so its patched page is never re-read by a later iteration and the
+    # write-back slot is never recycled before the DMA drains.
+    w_pos = seq_len - 1
+    w_row = w_pos % S                   # row within the strip
+    w_page_idx = jnp.minimum(w_pos // ps, pmax - 1)
+    w_page = page_table_ref[b * pmax + w_page_idx]
+    w_off = (w_row // ps) * ps          # page-aligned offset within scratch
+
     def strip_dmas(slot, i):
         return _strip_dmas(
             kv_ref, kv_scratch, sems, page_table_ref,
-            slot=slot, strip=i, kb=kb, ps=ps, pmax=pmax, row_off=b * pmax,
+            layer=layer, slot=slot, strip=i, kb=kb, ps=ps, pmax=pmax,
+            row_off=b * pmax,
+        )
+
+    def writeback_dma(slot):
+        return pltpu.make_async_copy(
+            kv_scratch.at[slot, :, pl.ds(w_off, ps)],
+            kv_out_ref.at[layer, :, w_page],
+            wb_sem,
         )
 
     for d in strip_dmas(0, first):
@@ -187,6 +215,23 @@ def _decode_kernel(
 
         for d in strip_dmas(slot, i):
             d.wait()
+
+        @pl.when(i == n_strips - 1)
+        def _():
+            # Patch the stale row with this step's K/V, write the whole
+            # (page-aligned) page back to HBM, and leave the patched strip
+            # in scratch for the attention matmuls below.
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (1, S, 1), 1
+            )
+            patched = jnp.where(
+                rows == w_row,
+                kvnew_ref[0][:, None, :].astype(kv_scratch.dtype),
+                kv_scratch[slot],
+            )
+            kv_scratch[slot] = patched
+            writeback_dma(slot).start()
+
         strip = kv_scratch[slot].astype(jnp.float32)  # [Hkv, S, 2D]
         kv_pos = i * S + jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
         return _attn_strip(
@@ -203,6 +248,7 @@ def _decode_kernel(
 
     out = acc / jnp.maximum(l, 1e-30)
     o_ref[0] = out.reshape(Hq, Dacc).astype(o_ref.dtype)
+    writeback_dma((n_strips - 1 - first) % 2).wait()
 
 
 def _extend_kernel(
@@ -211,9 +257,10 @@ def _extend_kernel(
     seq_lens_ref,     # [B] int32
     extend_lens_ref,  # [B] int32
     window_ref,       # [1] int32 — sliding window (FULL_WINDOW = none)
+    layer_ref,        # [1] int32 — which pool layer
     # inputs
     q_ref,            # [1, Hkv, TB, G, D or 2D] block (VMEM), head-major
-    kv_ref,           # [Hkv, P, ps, 2D] (HBM)
+    kv_ref,           # [L, Hkv, P, ps, 2D] (HBM, full pool)
     # outputs
     o_ref,            # [1, Hkv, TB, G, D or 2D] block (VMEM)
     # scratch
@@ -268,7 +315,8 @@ def _extend_kernel(
         def strip_dmas(slot, i):
             return _strip_dmas(
                 kv_ref, kv_scratch, sems, page_table_ref,
-                slot=slot, strip=i, kb=kb, ps=ps, pmax=pmax, row_off=b * pmax,
+                layer=layer_ref[0], slot=slot, strip=i, kb=kb, ps=ps,
+                pmax=pmax, row_off=b * pmax,
             )
 
         for d in strip_dmas(0, first):
@@ -345,7 +393,8 @@ def _fold_q(q: jax.Array, fold: bool) -> jax.Array:
 )
 def paged_attention_extend(
     q: jax.Array,            # [B, T, Hq, D]
-    kv_pages: jax.Array,     # [Hkv, P, ps, 2, D]
+    kv_pool: jax.Array,      # [L, Hkv, P, ps, 2D] (full pool, read-only)
+    layer,                   # traced int32 scalar
     page_table: jax.Array,   # [B, PMAX] int32
     seq_lens: jax.Array,     # [B] int32 (total context incl. new tokens)
     extend_lens: jax.Array,  # [B] int32 (new tokens this step)
@@ -360,16 +409,16 @@ def paged_attention_extend(
 
     Causal within the extend; full attention over the cached prefix —
     the fused equivalent of the reference's extend_attention + prefix-cache
-    merge path (triton_ops/extend_attention.py, merge_state).
-    """
+    merge path (triton_ops/extend_attention.py, merge_state). New KV must
+    already be scattered into the pool (write_kv_pages)."""
     B, T, Hq, D = q.shape
-    num_kv_heads, P, ps = kv_pages.shape[:3]
+    L, num_kv_heads, P, ps = kv_pool.shape[:4]
     G = Hq // num_kv_heads
     fold = D % 128 != 0
     Dq = 2 * D if fold else D
-    kvf = kv_pages.reshape(num_kv_heads, P, ps, 2 * D)  # folded view (free)
+    kvf = kv_pool  # already stored K|V-folded [L, Hkv, P, ps, 2D]
     pmax = page_table.shape[1]
-    kb = min(_strip_pages(ps, kv_pages.dtype), pmax)
+    kb = min(_strip_pages(ps, kv_pool.dtype), pmax)
     S_strip = kb * ps
     TB = min(_pick_q_block(q_block, T, Hq, num_kv_heads, S_strip, D, fold), T)
     num_blocks = pl.cdiv(T, TB)
@@ -386,12 +435,13 @@ def paged_attention_extend(
         if window is None
         else jnp.asarray(window, jnp.int32).reshape(1)
     )
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
     kernel = functools.partial(
         _extend_kernel, scale=scale, pmax=pmax, kb=kb,
         num_kv_heads=num_kv_heads, head_dim=D, fold=fold, softcap=softcap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(B, num_blocks),
         in_specs=[
             pl.BlockSpec(
@@ -403,7 +453,7 @@ def paged_attention_extend(
             (1, num_kv_heads, TB, G, Dq), lambda b, tb, *_: (b, 0, tb, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, num_kv_heads, kb * ps, 2 * D), kv_pages.dtype),
+            pltpu.VMEM((2, num_kv_heads, kb * ps, 2 * D), kv_pool.dtype),
             pltpu.SemaphoreType.DMA((2, kb)),
         ],
     )
@@ -412,18 +462,24 @@ def paged_attention_extend(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
         interpret=interpret,
-    )(page_table.reshape(-1), seq_lens, extend_lens, window_arr, qh, kvf)
+    )(
+        page_table.reshape(-1), seq_lens, extend_lens, window_arr, layer_arr,
+        qh, kvf,
+    )
     if fold:
         out = out[..., D:]  # V half of the folded accumulator
     return out.transpose(0, 2, 1, 3, 4).reshape(B, Tp, Hq, D)[:, :T]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "interpret", "softcap")
+    jax.jit, static_argnames=("scale", "interpret", "softcap"),
+    donate_argnums=(2,),
 )
 def paged_attention_decode(
     q: jax.Array,          # [B, Hq, D]
-    kv_pages: jax.Array,   # [Hkv, P, ps, 2, D]
+    kv_new: jax.Array,     # [B, Hkv, 2D] — this step's K|V folded (pre-write)
+    kv_pool: jax.Array,    # [L, Hkv, P, ps, 2D] (full pool, DONATED)
+    layer,                 # traced int32 scalar
     page_table: jax.Array, # [B, PMAX] int32
     seq_lens: jax.Array,   # [B] int32
     *,
@@ -431,45 +487,59 @@ def paged_attention_decode(
     window=None,           # traced int32 scalar sliding window, or None
     softcap: float = 0.0,
     interpret: bool = False,
-) -> jax.Array:
-    """Single-token-per-sequence paged attention. Returns [B, Hq, D]."""
+):
+    """Single-token-per-sequence paged attention with fused in-place KV
+    insert. Returns (out [B, Hq, D], updated kv_pool — same buffer)."""
     B, Hq, D = q.shape
-    num_kv_heads, P, ps = kv_pages.shape[:3]
+    L, num_kv_heads, P, ps = kv_pool.shape[:4]
     fold = D % 128 != 0
     Dq = 2 * D if fold else D
-    kvf = kv_pages.reshape(num_kv_heads, P, ps, 2 * D)
+    kvf = kv_pool  # already stored K|V-folded
+    kvn = kv_new.astype(kv_pool.dtype)
     pmax = page_table.shape[1]
-    kb = min(_strip_pages(ps, kv_pages.dtype), pmax)
+    kb = min(_strip_pages(ps, kv_pool.dtype), pmax)
     q = _fold_q(q, fold)
     window_arr = (
         jnp.full((1,), 1 << 30, jnp.int32)
         if window is None
         else jnp.asarray(window, jnp.int32).reshape(1)
     )
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, pmax=pmax, kb=kb,
         num_kv_heads=num_kv_heads, head_dim=D, fold=fold, softcap=softcap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, Hq, Dq), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, num_kv_heads, 2 * D), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, Hq, Dq), lambda b, *_: (b, 0, 0)),
+        out_specs=(
+            pl.BlockSpec((1, Hq, Dq), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2, num_kv_heads, kb * ps, 2 * D), kv_pages.dtype),
+            pltpu.VMEM((2, num_kv_heads, kb * ps, 2 * D), kv_pool.dtype),
             pltpu.SemaphoreType.DMA((2, kb)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
-    out = pl.pallas_call(
+    out, kvf = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Dq), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hq, Dq), q.dtype),
+            jax.ShapeDtypeStruct(kvf.shape, kvf.dtype),
+        ),
+        # Args flatten as (page_table, seq_lens, window, layer, q, kv_new,
+        # kvf) -> kvf is input 6; aliased onto output 1 (the pool).
+        input_output_aliases={6: 1},
         interpret=interpret,
-    )(page_table.reshape(-1), seq_lens, window_arr, q, kvf)
+    )(page_table.reshape(-1), seq_lens, window_arr, layer_arr, q, kvn, kvf)
     if fold:
         out = out[..., D:]
-    return out
+    return out, kvf

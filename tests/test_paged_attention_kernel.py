@@ -16,10 +16,14 @@ from sglang_custom_tpu.ops.ragged_paged_attention import (
 )
 
 
+LAYER = 1  # pools are built with 2 layers; kernels run on layer 1
+N_LAYERS = 2
+
+
 def make_case(B, Hq, Hkv, D, ps, pmax, seed=0):
     rng = np.random.RandomState(seed)
     P = B * pmax + 1
-    kv = rng.randn(Hkv, P, ps, 2, D).astype(np.float32)
+    kv = rng.randn(N_LAYERS, Hkv, P, ps, 2 * D).astype(np.float32)
     # each seq gets its own pages (1-based, page 0 = garbage)
     page_table = np.zeros((B, pmax), np.int32)
     for b in range(B):
@@ -29,15 +33,48 @@ def make_case(B, Hq, Hkv, D, ps, pmax, seed=0):
     return jnp.asarray(q), jnp.asarray(kv), jnp.asarray(page_table), jnp.asarray(seq_lens)
 
 
-def xla_reference(q, kv, page_table, seq_lens, scale):
+def make_kv_new(B, Hkv, D, seed=100):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randn(B, Hkv, 2 * D).astype(np.float32))
+
+
+def host_write(kv, kv_new, page_table, seq_lens, ps):
+    """Numpy reference of the fused decode KV insert at position seq_len-1."""
+    kv = np.asarray(kv).copy()
+    kv_new = np.asarray(kv_new)
+    pt = np.asarray(page_table)
+    for b in range(pt.shape[0]):
+        pos = int(seq_lens[b]) - 1
+        page = pt[b, pos // ps]
+        kv[LAYER, :, page, pos % ps] = kv_new[b]
+    return jnp.asarray(kv)
+
+
+def run_decode(q, kv, page_table, seq_lens, **kw):
+    """New-interface decode with a random fused KV write; returns (out,
+    host-updated kv for the reference, kernel-updated kv)."""
+    B, Hq, D = q.shape
+    Hkv = kv.shape[1]
+    ps = kv.shape[3]
+    kv_new = make_kv_new(B, Hkv, D)
+    expect_kv = host_write(kv, kv_new, page_table, seq_lens, ps)
+    out, kv_out = paged_attention_decode(
+        q, kv_new, kv, jnp.asarray(LAYER, jnp.int32), page_table, seq_lens,
+        interpret=True, **kw,
+    )
+    return out, expect_kv, kv_out
+
+
+def xla_reference(q, kv_full, page_table, seq_lens, scale):
     """Dense-gather reference: mask + softmax over the padded context."""
+    kv = kv_full[LAYER]
     B, Hq, D = q.shape
     Hkv, P, ps = kv.shape[:3]
     G = Hq // Hkv
     S = page_table.shape[1] * ps
     gathered = kv[:, page_table]  # [Hkv, B, PMAX, ps, 2, D]
-    k = gathered[..., 0, :].reshape(Hkv, B, S, D)
-    v = gathered[..., 1, :].reshape(Hkv, B, S, D)
+    k = gathered[..., :D].reshape(Hkv, B, S, D)
+    v = gathered[..., D:].reshape(Hkv, B, S, D)
     qg = q.reshape(B, Hkv, G, D)
     s = jnp.einsum("bkgd,kbsd->bkgs", qg, k) * scale
     kv_pos = jnp.arange(S)[None, None, None, :]
@@ -60,22 +97,25 @@ def xla_reference(q, kv, page_table, seq_lens, scale):
 def test_decode_kernel_matches_reference(B, Hq, Hkv, D, ps, pmax):
     q, kv, page_table, seq_lens = make_case(B, Hq, Hkv, D, ps, pmax)
     scale = 1.0 / np.sqrt(D)
-    out = paged_attention_decode(
-        q, kv, page_table, seq_lens, scale=scale, interpret=True
-    )
-    ref = xla_reference(q, kv, page_table, seq_lens, scale)
+    out, expect_kv, kv_out = run_decode(q, kv, page_table, seq_lens, scale=scale)
+    ref = xla_reference(q, expect_kv, page_table, seq_lens, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # the fused in-kernel write must land exactly the host-side scatter
+    np.testing.assert_allclose(
+        np.asarray(kv_out), np.asarray(expect_kv), rtol=0, atol=0
+    )
 
 
-def xla_extend_reference(q, kv, page_table, seq_lens, extend_lens, scale):
+def xla_extend_reference(q, kv_full, page_table, seq_lens, extend_lens, scale):
     """Dense reference with causal-within-extend masking."""
+    kv = kv_full[LAYER]
     B, T, Hq, D = q.shape
     Hkv, P, ps = kv.shape[:3]
     G = Hq // Hkv
     S = page_table.shape[1] * ps
     gathered = kv[:, page_table]
-    k = gathered[..., 0, :].reshape(Hkv, B, S, D)
-    v = gathered[..., 1, :].reshape(Hkv, B, S, D)
+    k = gathered[..., :D].reshape(Hkv, B, S, D)
+    v = gathered[..., D:].reshape(Hkv, B, S, D)
     qg = q.reshape(B, T, Hkv, G, D)
     s = jnp.einsum("btkgd,kbsd->bktgs", qg, k) * scale
     kv_pos = jnp.arange(S)[None, None, None, None, :]
@@ -100,7 +140,7 @@ def xla_extend_reference(q, kv, page_table, seq_lens, extend_lens, scale):
 def test_extend_kernel_matches_reference(B, Hq, Hkv, D, ps, pmax, T, q_block):
     rng = np.random.RandomState(1)
     P = B * pmax + 1
-    kv = jnp.asarray(rng.randn(Hkv, P, ps, 2, D).astype(np.float32))
+    kv = jnp.asarray(rng.randn(N_LAYERS, Hkv, P, ps, 2 * D).astype(np.float32))
     page_table = np.zeros((B, pmax), np.int32)
     for b in range(B):
         page_table[b] = np.arange(1 + b * pmax, 1 + (b + 1) * pmax)
@@ -113,8 +153,8 @@ def test_extend_kernel_matches_reference(B, Hq, Hkv, D, ps, pmax, T, q_block):
     scale = 1.0 / np.sqrt(D)
 
     out = paged_attention_extend(
-        q, kv, page_table, seq_lens, extend_lens,
-        scale=scale, q_block=q_block, interpret=True,
+        q, kv, jnp.asarray(LAYER, jnp.int32), page_table, seq_lens,
+        extend_lens, scale=scale, q_block=q_block, interpret=True,
     )
     ref = xla_extend_reference(q, kv, page_table, seq_lens, extend_lens, scale)
     # only rows t < extend_len are meaningful
@@ -130,23 +170,23 @@ def test_decode_kernel_single_token_seq():
     q, kv, page_table, seq_lens = make_case(2, 8, 4, 64, 16, 2)
     seq_lens = jnp.asarray([1, 5], jnp.int32)
     scale = 0.125
-    out = paged_attention_decode(
-        q, kv, page_table, seq_lens, scale=scale, interpret=True
-    )
-    ref = xla_reference(q, kv, page_table, seq_lens, scale)
+    out, expect_kv, kv_out = run_decode(q, kv, page_table, seq_lens, scale=scale)
+    ref = xla_reference(q, expect_kv, page_table, seq_lens, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(kv_out), np.asarray(expect_kv))
 
 
-def xla_windowed_reference(q, kv, page_table, seq_lens, scale, window,
+def xla_windowed_reference(q, kv_full, page_table, seq_lens, scale, window,
                            softcap=0.0):
     """Decode reference with sliding window + optional logit softcap."""
+    kv = kv_full[LAYER]
     B, Hq, D = q.shape
     Hkv, P, ps = kv.shape[:3]
     G = Hq // Hkv
     S = page_table.shape[1] * ps
     gathered = kv[:, page_table]
-    k = gathered[..., 0, :].reshape(Hkv, B, S, D)
-    v = gathered[..., 1, :].reshape(Hkv, B, S, D)
+    k = gathered[..., :D].reshape(Hkv, B, S, D)
+    v = gathered[..., D:].reshape(Hkv, B, S, D)
     qg = q.reshape(B, Hkv, G, D)
     s = jnp.einsum("bkgd,kbsd->bkgs", qg, k) * scale
     if softcap:
@@ -166,24 +206,24 @@ def test_decode_kernel_sliding_window(window):
     q, kv, page_table, seq_lens = make_case(3, 8, 4, 64, 16, 16, seed=7)
     seq_lens = jnp.asarray([250, 129, 64], jnp.int32)
     scale = 0.125
-    out = paged_attention_decode(
+    out, expect_kv, kv_out = run_decode(
         q, kv, page_table, seq_lens, scale=scale,
-        window=jnp.asarray(window, jnp.int32), interpret=True,
+        window=jnp.asarray(window, jnp.int32),
     )
-    ref = xla_windowed_reference(q, kv, page_table, seq_lens, scale, window)
+    ref = xla_windowed_reference(q, expect_kv, page_table, seq_lens, scale, window)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(kv_out), np.asarray(expect_kv))
 
 
 def test_decode_kernel_softcap():
     q, kv, page_table, seq_lens = make_case(2, 8, 4, 64, 16, 4, seed=8)
     scale = 0.125
-    out = paged_attention_decode(
-        q, kv, page_table, seq_lens, scale=scale, softcap=50.0,
-        interpret=True,
+    out, expect_kv, _ = run_decode(
+        q, kv, page_table, seq_lens, scale=scale, softcap=50.0
     )
     ref = xla_windowed_reference(
-        q, kv, page_table, seq_lens, scale, 1 << 30, softcap=50.0
+        q, expect_kv, page_table, seq_lens, scale, 1 << 30, softcap=50.0
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
@@ -194,7 +234,7 @@ def test_extend_kernel_sliding_window(window):
     rng = np.random.RandomState(9)
     B, Hq, Hkv, D, ps, pmax, T = 2, 8, 4, 64, 16, 16, 16
     P = B * pmax + 1
-    kv = jnp.asarray(rng.randn(Hkv, P, ps, 2, D).astype(np.float32))
+    kv = jnp.asarray(rng.randn(N_LAYERS, Hkv, P, ps, 2 * D).astype(np.float32))
     page_table = np.zeros((B, pmax), np.int32)
     for b in range(B):
         page_table[b] = np.arange(1 + b * pmax, 1 + (b + 1) * pmax)
@@ -205,14 +245,15 @@ def test_extend_kernel_sliding_window(window):
     scale = 0.125
 
     out = paged_attention_extend(
-        q, kv, page_table, seq_lens, extend_lens, scale=scale,
+        q, kv, jnp.asarray(LAYER, jnp.int32), page_table, seq_lens,
+        extend_lens, scale=scale,
         window=jnp.asarray(window, jnp.int32), q_block=8, interpret=True,
     )
     # dense reference with window mask
     S = pmax * ps
-    gathered = kv[:, page_table]
-    k = gathered[..., 0, :].reshape(Hkv, B, S, D)
-    v = gathered[..., 1, :].reshape(Hkv, B, S, D)
+    gathered = kv[LAYER][:, page_table]
+    k = gathered[..., :D].reshape(Hkv, B, S, D)
+    v = gathered[..., D:].reshape(Hkv, B, S, D)
     G = Hq // Hkv
     qg = q.reshape(B, T, Hkv, G, D)
     s = jnp.einsum("btkgd,kbsd->bktgs", qg, k) * scale
