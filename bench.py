@@ -1,11 +1,15 @@
-"""Decode-throughput benchmark (driver-run on real TPU).
+"""Decode-throughput benchmark with roofline accounting (driver-run on TPU).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Measures continuous-batching decode tokens/sec on a Llama-3.2-1B-geometry
-model (BASELINE.json config 2) with dummy weights. vs_baseline is against
-the reference's in-repo anchor: 158.34 tok/s Llama-3.1-8B decode on 1×H100
-(BASELINE.md; docs/backend/speculative_decoding.ipynb:19).
+- value          : steady-state continuous-batching decode tokens/s/chip on
+                   a Llama-3.2-1B geometry (dummy weights), batch 64,
+                   through the real Scheduler with the overlap pipeline.
+- vs_baseline    : achieved HBM bytes/s divided by this chip's *measured*
+                   streaming-read roofline (BASELINE.json gate: >=0.9x
+                   roofline decode) — NOT a cross-hardware tok/s ratio.
+- extra fields   : step-time breakdown + the roofline probe, so regressions
+                   are attributable (VERDICT round 1, "What's weak" #1).
 """
 
 import json
@@ -16,7 +20,41 @@ os.environ.setdefault("XLA_FLAGS", "")
 
 import numpy as np
 
-BASELINE_TOKS = 158.34
+BATCH = 64
+PROMPT = 128
+DECODE = 256
+
+
+def measure_roofline_gbps():
+    """Measured streaming weight-read bandwidth: a scanned stack of
+    [2048->8192->2048] matmuls at batch 64 (weights read once per step)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    L, H, I, B = 16, 2048, 8192, 64
+    wup = jnp.ones((L, H, I), jnp.bfloat16) * 0.001
+    wdn = jnp.ones((L, I, H), jnp.bfloat16) * 0.001
+    x0 = jnp.ones((B, H), jnp.bfloat16)
+
+    @jax.jit
+    def sweep(x):
+        def f(x, w):
+            wu, wd = w
+            return (x + jnp.matmul(jnp.matmul(x, wu), wd)).astype(x.dtype) * 0.5, None
+        return lax.scan(f, x, (wup, wdn))[0]
+
+    fetch = jax.jit(lambda t: t.ravel()[0])
+    x = sweep(x0)
+    np.asarray(fetch(x))
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        x = sweep(x)
+    np.asarray(fetch(x))
+    dt = (time.perf_counter() - t0) / n
+    gb = L * (H * I + I * H) * 2 / 1e9
+    return gb / dt
 
 
 def main():
@@ -57,62 +95,84 @@ def main():
 
     mesh_ctx = create_mesh(tp_size=1, dp_size=1)
     params = load_dummy_weights(cfg, mesh_ctx)
-    # 2048 pages x 32 tok = 64K KV tokens (enough for 64 x 256-token reqs).
-    # Kept small because XLA's conservative aliasing through the nested
-    # decode-burst scan can hold >1 pool copy at compile time.
     runner = ModelRunner(args, cfg, params, mesh_ctx, num_pages=2048)
 
-    BATCH = 64
-    PROMPT = 128
-    DECODE = 128
     rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, 100000, size=PROMPT)) for _ in range(BATCH)]
 
-    def make_reqs(max_new):
+    def make_reqs():
         return [
             Req(
                 rid=f"r{i}",
-                input_ids=list(rng.randint(1, 100000, size=PROMPT)),
+                input_ids=p,
                 sampling_params=SamplingParams(
-                    max_new_tokens=max_new, temperature=0.0, ignore_eos=True
+                    max_new_tokens=DECODE, temperature=0.0, ignore_eos=True
                 ),
             )
-            for i in range(BATCH)
+            for i, p in enumerate(prompts)
         ]
 
-    # Warmup: compiles prefill + single-decode + decode-burst executables
-    # (max_new > burst so the burst program compiles here, not in the
-    # timed loop) and both page-table buckets the timed run will touch.
+    # Warmup: run the FULL decode once so every (batch, page-bucket,
+    # use_slots) executable the timed run touches is compiled.
     sched = Scheduler(args, runner)
-    for r in make_reqs(2 * args.decode_burst_size + 4):
+    for r in make_reqs():
         sched.add_request(r)
     while sched.has_work:
         sched.step()
     sched.tree_cache.reset()
 
-    # Timed run.
+    # Timed run (prefill excluded from the decode timing).
     sched = Scheduler(args, runner)
-    for r in make_reqs(DECODE):
+    for r in make_reqs():
         sched.add_request(r)
-    # Run prefill steps (not timed as decode).
+    t_pf0 = time.perf_counter()
     while sched.has_work and not sched.running_batch:
         sched.step()
+    prefill_s = time.perf_counter() - t_pf0
     t0 = time.perf_counter()
     decode_tokens = 0
+    steps = 0
     while sched.has_work:
         before = sched.num_generated_tokens
         sched.step()
         decode_tokens += sched.num_generated_tokens - before
+        steps += 1
     jax.effects_barrier()
     dt = time.perf_counter() - t0
-
     toks_per_s = decode_tokens / dt
+
+    # ---- roofline accounting ----
+    # Bytes a decode token-step must stream from HBM: the stacked layer
+    # weights + lm_head (bf16), plus the batch's KV context read.
+    layer_bytes = sum(
+        int(np.prod(v.shape)) * 2 for v in jax.tree.leaves(params["layers"])
+    )
+    lm_head_bytes = int(np.prod(params["lm_head"].shape)) * 2
+    avg_ctx = PROMPT + DECODE / 2
+    kv_bytes = BATCH * avg_ctx * cfg.num_layers * cfg.kv_dim_per_token * 2
+    bytes_per_token_step = layer_bytes + lm_head_bytes + kv_bytes
+    token_steps_per_s = toks_per_s / BATCH
+    achieved_gbps = bytes_per_token_step * token_steps_per_s / 1e9
+
+    roofline_gbps = measure_roofline_gbps()
+    frac = achieved_gbps / roofline_gbps
+
     print(
         json.dumps(
             {
                 "metric": "decode_tokens_per_sec_per_chip_llama3.2-1b_bf16_bs64",
                 "value": round(toks_per_s, 2),
                 "unit": "tokens/s",
-                "vs_baseline": round(toks_per_s / BASELINE_TOKS, 3),
+                # BASELINE.json gate: >=0.9x of chip roofline decode
+                "vs_baseline": round(frac, 3),
+                "roofline_gbps_measured": round(roofline_gbps, 1),
+                "achieved_gbps": round(achieved_gbps, 1),
+                "ms_per_token_step": round(1e3 / token_steps_per_s, 2),
+                "bytes_per_token_step_mb": round(bytes_per_token_step / 1e6, 1),
+                "prefill_s": round(prefill_s, 2),
+                "decode_scheduler_iterations": steps,
+                "batch": BATCH,
+                "decode_len": DECODE,
             }
         )
     )

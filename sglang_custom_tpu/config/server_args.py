@@ -54,6 +54,14 @@ class ServerArgs:
     # iterations, mirroring the overlap scheduler's one-step lag.
     decode_burst_size: int = 8
 
+    # Overlap scheduler (reference: tp_worker_overlap_thread.py:53 /
+    # --disable-overlap-schedule): dispatch step N+1 before fetching step
+    # N's tokens. The token-feedback loop stays on the device via a slot
+    # table (model_runner.tok_slots); host batch prep, detokenization and
+    # finish checks run while the device computes. Disabled automatically
+    # for speculative decoding.
+    disable_overlap_schedule: bool = False
+
     # Parallelism (mesh axes over ICI/DCN)
     tp_size: int = 1                   # tensor axis
     dp_size: int = 1                   # data axis (replica count)

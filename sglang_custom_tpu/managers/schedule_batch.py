@@ -69,6 +69,15 @@ class Req:
         self.spec_slot: Optional[int] = None  # feature-pool slot
         self.spec_ok = False                  # prefilled through the spec path
 
+        # Overlap-scheduler state: device token-slot id, #tokens dispatched
+        # but not yet collected, and a generation counter bumped whenever
+        # host state diverges from in-flight device work (finish/retract/
+        # jump-forward) so stale in-flight rows are discarded at collect.
+        self.tok_slot: Optional[int] = None
+        self.inflight_tokens = 0     # sampled tokens not yet collected
+        self.inflight_computed = 0   # KV positions written, not collected
+        self.gen = 0
+
         # LoRA (lora/lora_manager.py): pool slot 0 = no adapter
         self.lora_slot = 0
         self.lora_scaling = 0.0
@@ -118,6 +127,28 @@ class Req:
         Note the last fill token's KV is computed together with its logits,
         so 'prefill complete' means computed_len == len(fill_ids)."""
         return len(self.fill_ids) - self.computed_len
+
+    # ---- virtual state: host view assuming all in-flight device steps
+    # complete without value-dependent finishes (overlap scheduler) ----
+
+    @property
+    def virtual_output_len(self) -> int:
+        return len(self.output_ids) + self.inflight_tokens
+
+    @property
+    def virtual_computed(self) -> int:
+        return self.computed_len + self.inflight_computed
+
+    @property
+    def virtual_seq_len(self) -> int:
+        return len(self.input_ids) + self.virtual_output_len
+
+    def bump_gen(self) -> None:
+        """Invalidate in-flight device rows for this request (finish,
+        retract, requeue): their results are discarded at collect."""
+        self.gen += 1
+        self.inflight_tokens = 0
+        self.inflight_computed = 0
 
     @property
     def finished(self) -> bool:
@@ -205,6 +236,21 @@ class HostBatch:
     # multimodal embedding override for this extend window (None = text-only)
     mm_override: Optional[np.ndarray] = None  # [B, T, H] f32
     mm_mask: Optional[np.ndarray] = None      # [B, T] bool
+    # token-slot ids for the device feedback table (model_runner.tok_slots);
+    # None when requests carry no slots (e.g. direct runner tests)
+    slot_ids: Optional[np.ndarray] = None     # [B] i32
+    # overlapped decode: read input tokens from the device slot table
+    # instead of token_ids (token values may not exist on the host yet)
+    use_slots: bool = False
+    # generation snapshot per row (Req.gen at dispatch); collect skips rows
+    # whose request was finished/retracted/requeued while in flight
+    gens: Optional[List[int]] = None
+    # is_chunked snapshot per row at build time (collect must not consult
+    # Req.is_chunked — a later chunk may have been dispatched in between)
+    chunked: Optional[List[bool]] = None
+    # dispatched via the overlap pipeline (collect adjusts inflight
+    # counters and must not re-append extend rows to running)
+    overlap: bool = False
 
     @property
     def batch_size(self) -> int:
@@ -217,19 +263,29 @@ def build_batch(
     page_size: int,
     vocab_size: int,
     is_extend: bool,
+    virtual: bool = False,
 ) -> HostBatch:
     """Materialize the step's HostBatch from request state.
 
     ``extend_lens[i]`` tokens starting at ``reqs[i].computed_len`` are
     computed this step (decode: 1 token = last sampled output).
+
+    With ``virtual=True`` (overlap scheduler) positions/lengths start at
+    ``virtual_computed`` — the state after all in-flight device steps —
+    and decode token VALUES are left zero: the device reads them from the
+    slot table (HostBatch.use_slots).
     """
     # Snapshot: the caller may mutate its running list while results are
     # processed against this batch's row order.
     reqs = list(reqs)
     B = len(reqs)
     T = max(extend_lens)
+
+    def base(r: Req) -> int:
+        return r.virtual_computed if virtual else r.computed_len
+
     max_pages = max(
-        (r.computed_len + e + page_size - 1) // page_size
+        (base(r) + e + page_size - 1) // page_size
         for r, e in zip(reqs, extend_lens)
     )
     max_pages = max(max_pages, 1)
@@ -245,13 +301,17 @@ def build_batch(
     min_p = np.zeros((B,), dtype=np.float32)
 
     for i, (r, e) in enumerate(zip(reqs, extend_lens)):
+        c = base(r)
         fill = r.fill_ids
-        toks = fill[r.computed_len : r.computed_len + e]
-        token_ids[i, :e] = toks
-        positions[i, :e] = np.arange(r.computed_len, r.computed_len + e)
+        if is_extend or len(fill) >= c + e:
+            # Decode token values are filled when the host has them (cold
+            # paths read them); a hot overlapped decode may not — the
+            # device then sources them from the slot table (use_slots).
+            token_ids[i, :e] = fill[c : c + e]
+        positions[i, :e] = np.arange(c, c + e)
         pages = r.page_list[:max_pages]
         page_table[i, : len(pages)] = pages
-        seq_lens[i] = r.computed_len + e
+        seq_lens[i] = c + e
         sp = r.sampling_params
         temperature[i] = sp.temperature
         top_k[i] = sp.top_k if sp.top_k > 0 else vocab_size
@@ -285,6 +345,13 @@ def build_batch(
     assert not is_embed or all(r.is_embedding for r in reqs), (
         "embedding and generation requests must not share a batch"
     )
+
+    slot_ids = None
+    if any(r.tok_slot is not None for r in reqs):
+        slot_ids = np.asarray(
+            [r.tok_slot if r.tok_slot is not None else 0 for r in reqs],
+            np.int32,
+        )
 
     # Multimodal override: image-token positions inside this extend window
     # take projected vision features (reference: mm_utils embedding scatter).
@@ -325,6 +392,10 @@ def build_batch(
         ilp_valid=ilp_valid,
         mm_override=mm_override,
         mm_mask=mm_mask,
+        slot_ids=slot_ids,
+        use_slots=virtual and not is_extend,
+        gens=[r.gen for r in reqs],
+        chunked=[r.is_chunked for r in reqs],
     )
 
 

@@ -72,6 +72,20 @@ class Scheduler:
         self.running_batch: List[Req] = []
         self.chunked_req: Optional[Req] = None
 
+        # Overlap scheduler (reference: TpModelWorkerClient,
+        # tp_worker_overlap_thread.py:53): in-flight dispatched batches,
+        # collected one step behind; device-side token slots carry the
+        # feedback loop. Disabled for speculative decoding (the spec worker
+        # maintains no slot state).
+        from collections import deque
+
+        self.inflight = deque()
+        self.enable_overlap = (
+            not server_args.disable_overlap_schedule and spec_runner is None
+        )
+        # Slot 0 is scratch for padding rows.
+        self._free_slots = list(range(model_runner.num_tok_slots - 1, 0, -1))
+
         # Stats (reference: SchedulerMetricsCollector gauges)
         self.num_generated_tokens = 0
         self.num_prefill_tokens = 0
@@ -107,16 +121,50 @@ class Scheduler:
 
     @property
     def has_work(self) -> bool:
-        return bool(self.waiting_queue or self.running_batch or self.chunked_req)
+        return bool(
+            self.waiting_queue
+            or self.running_batch
+            or self.chunked_req
+            or self.inflight
+        )
 
     # ------------------------------------------------------------- main loop
 
     def step(self) -> List[Req]:
-        """One scheduler iteration ≈ one forward pass. Returns requests that
-        produced a token or finished this step (for streaming)."""
+        """One scheduler iteration. Returns requests that produced a token
+        or finished this step (for streaming).
+
+        Overlap mode: hot batches are DISPATCHED without waiting; the
+        previous in-flight batch is collected while the device runs this
+        one. Cold batches (penalties/grammar/logprobs/LoRA/multimodal/
+        embedding/spec) drain the pipeline first and run synchronously —
+        the same bypass set as the reference's overlap scheduler."""
         batch = self._get_next_batch()
         if batch is None:
+            return self._collect_one() if self.inflight else []
+
+        if (
+            self.enable_overlap
+            and self.runner.is_hot_batch(batch)
+            and not batch.spec
+        ):
+            self._mark_dispatched(batch)
+            handle = self.runner.forward_hot_async(batch)
+            self.inflight.append((batch, handle))
+            if len(self.inflight) > 1:
+                return self._collect_one()
             return []
+
+        updated = self._drain_inflight()
+        if updated and not batch.is_extend:
+            # Draining moved host state (tokens landed, rows may have
+            # finished); a cold DECODE batch was built against virtual
+            # state — rebuild it against the settled state. (Extend
+            # batches are safe: their rows were just admitted and carry no
+            # in-flight state, and rebuilding would lose the admissions.)
+            batch = self._get_next_batch()
+            if batch is None:
+                return updated
         valid = None
         if (
             self.spec is not None
@@ -131,7 +179,35 @@ class Scheduler:
                 tokens, logprobs = self.runner.forward(batch)
         else:
             tokens, logprobs = self.runner.forward(batch)
-        return self._process_result(batch, tokens, logprobs, valid)
+        return updated + self._process_result(batch, tokens, logprobs, valid)
+
+    def _mark_dispatched(self, batch: HostBatch) -> None:
+        """Advance virtual request state for an overlapped dispatch."""
+        batch.overlap = True
+        for i, r in enumerate(batch.reqs):
+            if batch.is_extend:
+                e = int(batch.extend_lens[i])
+                r.inflight_computed += e
+                if not batch.chunked[i]:
+                    r.inflight_tokens += 1
+                    # The row joins continuous decode immediately — its
+                    # feedback token lives in the device slot table.
+                    if r.status == ReqStatus.RUNNING and r not in self.running_batch:
+                        self.running_batch.append(r)
+            else:
+                r.inflight_computed += batch.burst
+                r.inflight_tokens += batch.burst
+
+    def _collect_one(self) -> List[Req]:
+        batch, handle = self.inflight.popleft()
+        tokens, logprobs = self.runner.collect_hot(handle)
+        return self._process_result(batch, tokens, logprobs, None)
+
+    def _drain_inflight(self) -> List[Req]:
+        updated: List[Req] = []
+        while self.inflight:
+            updated.extend(self._collect_one())
+        return updated
 
     # ------------------------------------------------------- batch formation
 
@@ -154,13 +230,14 @@ class Scheduler:
         )
         if self.chunked_req is not None:
             r = self.chunked_req
-            ext = min(r.remaining_prefill, self.server_args.chunked_prefill_size,
+            remaining = len(r.fill_ids) - r.virtual_computed
+            ext = min(remaining, self.server_args.chunked_prefill_size,
                       budget.rem_tokens)
             if ext > 0 and self._extend_req_pages(r, ext):
                 reqs.append(r)
                 extend_lens.append(ext)
                 budget.take(ext)
-                if ext == r.remaining_prefill:
+                if ext == remaining:
                     r.is_chunked = False
                     self.chunked_req = None
             # If pages can't be allocated, fall through: decode will retract.
@@ -186,7 +263,7 @@ class Scheduler:
             r.status = ReqStatus.RUNNING
         return build_batch(
             reqs, extend_lens, self.page_size, self.runner.cfg.vocab_size,
-            is_extend=True,
+            is_extend=True, virtual=self.enable_overlap,
         )
 
     def _admit_req(
@@ -246,6 +323,10 @@ class Scheduler:
         if not self._ensure_free_pages(new_pages_needed):
             return False
 
+        if r.tok_slot is None:
+            if not self._free_slots:
+                return False
+            r.tok_slot = self._free_slots.pop()
         new_pages = self.allocator.alloc(new_pages_needed)
         assert new_pages is not None
         r.cached_len = cached_len
@@ -266,9 +347,10 @@ class Scheduler:
         return True
 
     def _extend_req_pages(self, r: Req, ext: int) -> bool:
-        """Grow r.page_list to cover computed_len + ext tokens."""
+        """Grow r.page_list to cover virtual_computed + ext tokens (equals
+        computed_len when nothing is in flight)."""
         needed = (
-            (r.computed_len + ext + self.page_size - 1) // self.page_size
+            (r.virtual_computed + ext + self.page_size - 1) // self.page_size
             - len(r.page_list)
         )
         if needed <= 0:
@@ -295,40 +377,56 @@ class Scheduler:
             batch = self._try_spec_decode_batch()
             if batch is not None:
                 return batch
+        ctx = self.runner.context_len
+        # Overlap: rows that would pass their (host-known) length limits if
+        # all in-flight tokens land simply wait for collection; only rows
+        # that can definitely absorb another token are dispatched.
+        eligible = [
+            r for r in self.running_batch
+            if r.virtual_output_len < r.sampling_params.max_new_tokens
+            and r.virtual_seq_len < ctx
+        ]
+        if not eligible:
+            return None
         # Decode-burst K: every row must be able to absorb K tokens (token
         # budget + context + pages) with no penalties in the batch and no
         # prefill waiting to interleave; else single-step.
         K = self.server_args.decode_burst_size
         if K > 1:
-            ctx = self.runner.context_len
             ok = not self.waiting_queue and all(
-                r.sampling_params.max_new_tokens - len(r.output_ids) >= K
-                and r.seq_len + K <= ctx
+                r.sampling_params.max_new_tokens - r.virtual_output_len >= K
+                and r.virtual_seq_len + K <= ctx
                 and not r.sampling_params.needs_penalties
                 and r.grammar is None
                 and r.lora_slot == 0
-                for r in self.running_batch
+                for r in eligible
             )
             if not ok:
                 K = 1
         # Ensure every request has pages for its next K tokens; retract on
         # pressure (reference: update_running_batch :1828 + retract_decode).
         i = 0
-        while i < len(self.running_batch):
-            r = self.running_batch[i]
+        while i < len(eligible):
+            r = eligible[i]
+            if r not in self.running_batch:
+                eligible.remove(r)  # retracted below while iterating
+                continue
             if not self._extend_req_pages(r, K):
-                self._retract_one()
-                # _retract_one pops from the tail; current r may have moved.
+                victim = self._retract_one()
+                if victim in eligible:
+                    eligible.remove(victim)
+                # current r may have been the victim; re-check it.
                 continue
             i += 1
-        if not self.running_batch:
+        if not eligible:
             return None
         batch = build_batch(
-            self.running_batch,
-            [1] * len(self.running_batch),
+            eligible,
+            [1] * len(eligible),
             self.page_size,
             self.runner.cfg.vocab_size,
             is_extend=False,
+            virtual=self.enable_overlap,
         )
         batch.burst = K
         if K > 1:
@@ -377,7 +475,7 @@ class Scheduler:
         import numpy as np
 
         need = max(
-            (r.computed_len + K + self.page_size - 1) // self.page_size
+            (r.virtual_computed + K + self.page_size - 1) // self.page_size
             for r in batch.reqs
         )
         if need > batch.page_table.shape[1]:
@@ -388,9 +486,13 @@ class Scheduler:
             batch.page_table = wide
         return batch
 
-    def _retract_one(self) -> None:
+    def _retract_one(self) -> Req:
         """Send the youngest running request back to the waiting queue and
-        release its KV (reference: retract_decode schedule_batch.py:1362)."""
+        release its KV (reference: retract_decode schedule_batch.py:1362).
+        Any in-flight device rows for the victim are invalidated (gen bump
+        in _release_req_kv) and their results discarded at collect — the
+        victim's already-sampled-but-uncollected tokens are re-generated
+        after re-prefill."""
         assert self.running_batch
         victim = max(self.running_batch, key=lambda r: r.arrival_time)
         self.running_batch.remove(victim)
@@ -399,6 +501,7 @@ class Scheduler:
         self.waiting_queue.insert(0, victim)
         self.num_retractions += 1
         logger.info("retracted req %s under memory pressure", victim.rid)
+        return victim
 
     def _release_req_kv(self, r: Req) -> None:
         self.allocator.free(r.own_pages(self.page_size))
@@ -406,7 +509,14 @@ class Scheduler:
             self.tree_cache.dec_lock_ref(r.last_node)
         r.page_list = []
         r.last_node = None
+        r.bump_gen()
+        self._free_tok_slot(r)
         self._free_spec_slot(r)
+
+    def _free_tok_slot(self, r: Req) -> None:
+        if r.tok_slot is not None:
+            self._free_slots.append(r.tok_slot)
+            r.tok_slot = None
 
     def _free_spec_slot(self, r: Req) -> None:
         if self.spec is not None and r.spec_slot is not None:
@@ -427,7 +537,20 @@ class Scheduler:
         K = tokens.shape[1]
         updated: List[Req] = []
         for i, r in enumerate(batch.reqs):
+            if batch.gens is not None and r.gen != batch.gens[i]:
+                # Stale overlap row: the request finished / was retracted /
+                # was requeued after this batch was dispatched. Its device
+                # results are speculative over-run — discard.
+                continue
             ext = int(batch.extend_lens[i])
+            if batch.overlap:
+                if batch.is_extend:
+                    r.inflight_computed -= ext
+                    if not batch.chunked[i]:
+                        r.inflight_tokens -= 1
+                else:
+                    r.inflight_computed -= batch.burst
+                    r.inflight_tokens -= batch.burst
             if (
                 batch.input_logprobs is not None
                 and r.sampling_params.return_input_logprob
@@ -440,12 +563,15 @@ class Scheduler:
                         r.input_token_logprobs.append(
                             float(batch.input_logprobs[i, t])
                         )
-            if batch.is_embed and not r.is_chunked:
+            row_chunked = (
+                batch.chunked[i] if batch.chunked is not None else r.is_chunked
+            )
+            if batch.is_embed and not row_chunked:
                 # Final (or only) chunk of an embedding request: capture the
                 # pooled hidden state; the max_new_tokens==0 branch below
                 # finishes the request.
                 r.embedding = np.asarray(batch.embeddings[i], np.float32)
-            if batch.is_extend and r.is_chunked:
+            if batch.is_extend and row_chunked:
                 # Mid-prompt chunk: the sampled token is meaningless; publish
                 # the computed KV so concurrent requests can share it.
                 r.computed_len += ext
@@ -495,7 +621,7 @@ class Scheduler:
                 if r in self.running_batch:
                     self.running_batch.remove(r)
             else:
-                if batch.is_extend:
+                if batch.is_extend and not batch.overlap:
                     self.running_batch.append(r)
                 if r.grammar is not None:
                     self._try_jump_forward(r)
@@ -574,6 +700,8 @@ class Scheduler:
         )
         r.page_list = []
         r.last_node = None
+        r.bump_gen()
+        self._free_tok_slot(r)
         self._free_spec_slot(r)
 
     # ------------------------------------------------------------- debug

@@ -107,6 +107,16 @@ class ModelRunner:
         # set by the Engine when expert-distribution recording is on
         # (eplb/expert_distribution.py)
         self.expert_recorder = None
+        # Device-resident last-sampled-token table, indexed by request slot
+        # (slot 0 = scratch for padding rows). Every hot step scatters its
+        # sampled tokens here; overlapped decode steps READ their input
+        # token from here instead of the host — the token-feedback loop
+        # never leaves the device (the TPU form of the reference's
+        # future-token indirection, tp_worker_overlap_thread.py:45-76).
+        self.num_tok_slots = pow2_bucket(
+            max(server_args.max_running_requests + 1, 2)
+        )
+        self.tok_slots = jnp.zeros((self.num_tok_slots,), jnp.int32)
         self._build_step_fns()
 
     def _build_step_fns(self):
@@ -128,11 +138,24 @@ class ModelRunner:
                 out_shardings=(fmt,) + (None,) * n_out_extra,
             )
 
-        self._step_packed = jit_kv(
-            self._step_packed_impl, 1, static=(2, 3, 4)
+        # Hot paths additionally donate-and-return the token-slot table.
+        self._step_packed = jax.jit(
+            self._step_packed_impl,
+            static_argnums=(3, 4, 5, 6),
+            donate_argnums=(1, 2),
+            in_shardings=(None, fmt, None, None),
+            out_shardings=(fmt, None, None),
         )
-        self._burst_packed = jit_kv(
-            self._burst_packed_impl, 1, static=(2, 3, 4, 5)
+        self._burst_packed = jax.jit(
+            self._burst_packed_impl,
+            static_argnums=(3, 4, 5, 6, 7),
+            donate_argnums=(1, 2),
+            in_shardings=(None, fmt, None, None),
+            out_shardings=(fmt, None, None),
+        )
+        self._write_slots = jax.jit(
+            lambda slots, idx, tok: slots.at[idx].set(tok, mode="drop"),
+            donate_argnums=(0,),
         )
         self._step_mm = jit_kv(self._step_mm_impl, 5, n_out_extra=2)
         self._step_embed = jit_kv(self._step_embed_impl, 1)
@@ -227,6 +250,11 @@ class ModelRunner:
             pad(batch.top_p, (Bp,), fill=1.0),
             pad(batch.min_p, (Bp,)),
         ]).ravel().view(np.int32)
+        slot_ids = (
+            batch.slot_ids
+            if batch.slot_ids is not None
+            else np.zeros((batch.batch_size,), np.int32)
+        )
         ints = np.concatenate([
             pad(batch.token_ids, (Bp, Tp)).ravel(),
             pad(batch.positions, (Bp, Tp)).ravel(),
@@ -234,12 +262,13 @@ class ModelRunner:
             pad(batch.seq_lens, (Bp,), fill=1),
             pad(batch.extend_lens, (Bp,), fill=1),
             pad(batch.top_k, (Bp,), fill=1),
+            pad(slot_ids, (Bp,)),  # padding rows -> scratch slot 0
             f32,
             np.asarray([self._step_counter], np.int32),
         ])
         return jnp.asarray(ints)
 
-    def _unpack_meta(self, packed, B, T, P):
+    def _unpack_meta(self, packed, B, T, P, tok_slots=None, use_slots=False):
         o = 0
 
         def take(n, shape):
@@ -254,8 +283,13 @@ class ModelRunner:
         seq_lens = take(B, (B,))
         extend_lens = take(B, (B,))
         top_k = take(B, (B,))
+        slot_ids = take(B, (B,))
         f32 = jax.lax.bitcast_convert_type(take(3 * B, (3, B)), jnp.float32)
         counter = packed[o]
+        if use_slots:
+            # Overlapped decode: the input token is whatever the PREVIOUS
+            # step (already enqueued on the device) sampled for this slot.
+            token_ids = tok_slots[slot_ids][:, None]
         meta = ForwardMeta(
             token_ids=token_ids, positions=positions, page_table=page_table,
             seq_lens=seq_lens, extend_lens=extend_lens,
@@ -266,7 +300,7 @@ class ModelRunner:
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.server_args.random_seed), counter
         )
-        return meta, smeta, key
+        return meta, smeta, key, slot_ids
 
     @staticmethod
     def _pack_out(tokens, logprobs):
@@ -286,21 +320,27 @@ class ModelRunner:
         logprobs = out_np[n:].view(np.float32).reshape(shape)
         return tokens, logprobs
 
-    def _step_packed_impl(self, params, kv, B: int, T: int, P: int, packed):
-        meta, smeta, key = self._unpack_meta(packed, B, T, P)
+    def _step_packed_impl(self, params, kv, tok_slots, B: int, T: int,
+                          P: int, use_slots: bool, packed):
+        meta, smeta, key, slot_ids = self._unpack_meta(
+            packed, B, T, P, tok_slots, use_slots
+        )
         hidden, kv = self.model.forward(
             params, self.cfg, meta, kv, self.attn_backend
         )
         logits = self.model.compute_last_logits(params, hidden, meta, self.cfg)
         tokens = sample(logits, smeta, key)
         logprobs = compute_token_logprobs(logits, tokens)
-        return kv, self._pack_out(tokens, logprobs)
+        tok_slots = tok_slots.at[slot_ids].set(tokens, mode="drop")
+        return kv, tok_slots, self._pack_out(tokens, logprobs)
 
-    def _burst_packed_impl(self, params, kv, B: int, T: int, P: int, K: int,
-                           packed):
+    def _burst_packed_impl(self, params, kv, tok_slots, B: int, T: int,
+                           P: int, K: int, use_slots: bool, packed):
         from jax import lax
 
-        meta, smeta, key = self._unpack_meta(packed, B, T, P)
+        meta, smeta, key, slot_ids = self._unpack_meta(
+            packed, B, T, P, tok_slots, use_slots
+        )
 
         def step_fn(carry, i):
             kv, tok, pos, seq_lens = carry
@@ -322,8 +362,11 @@ class ModelRunner:
         init = (
             kv, meta.token_ids[:, 0], meta.positions[:, 0], meta.seq_lens,
         )
-        (kv, _, _, _), (toks, lps) = lax.scan(step_fn, init, jnp.arange(K))
-        return kv, self._pack_out(toks.T, lps.T)
+        (kv, last_tok, _, _), (toks, lps) = lax.scan(
+            step_fn, init, jnp.arange(K)
+        )
+        tok_slots = tok_slots.at[slot_ids].set(last_tok, mode="drop")
+        return kv, tok_slots, self._pack_out(toks.T, lps.T)
 
     def _step_mm_impl(
         self, params, kv, meta: ForwardMeta, smeta: SamplingMeta,
@@ -467,9 +510,13 @@ class ModelRunner:
         logprobs = compute_token_logprobs(logits, tokens)
         return kv, tokens, logprobs
 
-    def forward(self, batch: HostBatch):
-        """Run one step. Returns (token_ids [B] np.int32, logprobs [B] np.f32),
-        sliced to the real batch size."""
+    @staticmethod
+    def _pad(arr, shape, fill=0):
+        out = np.full(shape, fill, dtype=arr.dtype)
+        out[tuple(slice(0, s) for s in arr.shape)] = arr
+        return out
+
+    def _buckets(self, batch: HostBatch):
         B = batch.batch_size
         T = batch.token_ids.shape[1]
         Bp = next_bucket(B, self.server_args.decode_bs_buckets)
@@ -480,11 +527,76 @@ class ModelRunner:
         pages = batch.page_table.shape[1]
         Pp = min(pow2_bucket(pages, lo=1), self.max_pages_per_req)
         Pp = max(Pp, pages)
+        return Bp, Tp, Pp
 
-        def pad(arr, shape, fill=0):
-            out = np.full(shape, fill, dtype=arr.dtype)
-            out[tuple(slice(0, s) for s in arr.shape)] = arr
-            return out
+    @staticmethod
+    def is_hot_batch(batch: HostBatch) -> bool:
+        """Whether the batch rides the packed single-upload/-download
+        executables (and is therefore eligible for overlapped dispatch)."""
+        return (
+            not batch.is_embed
+            and batch.penalties is None
+            and batch.ilp_targets is None
+            and batch.lora_ids is None
+            and batch.mm_override is None
+        )
+
+    def forward_hot_async(self, batch: HostBatch):
+        """Dispatch a hot-path step WITHOUT waiting for results. Returns an
+        opaque handle for collect_hot(). With ``batch.use_slots`` the input
+        tokens come from the device-resident slot table, so the step can be
+        enqueued before the previous step's tokens ever reach the host —
+        the overlap scheduler's device half (reference:
+        tp_worker_overlap_thread.py:137 forward_thread_func_)."""
+        assert self.is_hot_batch(batch)
+        B = batch.batch_size
+        Bp, Tp, Pp = self._buckets(batch)
+        self._step_counter += 1
+        packed = self._pack_meta(batch, Bp, Tp, Pp, self._pad)
+        use_slots = bool(batch.use_slots) and not batch.is_extend
+        if batch.burst > 1 and not batch.is_extend:
+            kv, slots, out = self._burst_packed(
+                self.params, self.kv_pool.kv, self.tok_slots,
+                Bp, Tp, Pp, batch.burst, use_slots, packed,
+            )
+            shape = (Bp, batch.burst)
+        else:
+            kv, slots, out = self._step_packed(
+                self.params, self.kv_pool.kv, self.tok_slots,
+                Bp, Tp, Pp, use_slots, packed,
+            )
+            shape = (Bp,)
+        self.kv_pool.kv = kv
+        self.tok_slots = slots
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        return (out, shape, B)
+
+    def collect_hot(self, handle):
+        """Block on a dispatched hot step's packed output and split it."""
+        out, shape, B = handle
+        tokens, logprobs = self._split_out(np.asarray(out), shape)
+        return tokens[:B], logprobs[:B]
+
+    def write_tok_slots(self, slot_ids: np.ndarray, tokens: np.ndarray):
+        """Host-side refresh of the device slot table (used after cold-path
+        steps and grammar jump-forwards so a later overlapped decode reads
+        the right feedback token)."""
+        n = pow2_bucket(max(len(slot_ids), 1))
+        self.tok_slots = self._write_slots(
+            self.tok_slots,
+            jnp.asarray(self._pad(np.asarray(slot_ids, np.int32), (n,))),
+            jnp.asarray(self._pad(np.asarray(tokens, np.int32), (n,))),
+        )
+
+    def forward(self, batch: HostBatch):
+        """Run one step. Returns (token_ids [B] np.int32, logprobs [B] np.f32),
+        sliced to the real batch size."""
+        B = batch.batch_size
+        Bp, Tp, Pp = self._buckets(batch)
+        pad = self._pad
 
         self._step_counter += 1
 
@@ -505,28 +617,9 @@ class ModelRunner:
             self.expert_recorder is not None and self.expert_recorder.recording
         )
         # Hot paths: one packed upload, one packed download.
-        if (
-            batch.penalties is None
-            and batch.ilp_targets is None
-            and batch.lora_ids is None
-            and batch.mm_override is None
-            and not recording
-        ):
-            packed = self._pack_meta(batch, Bp, Tp, Pp, pad)
-            if batch.burst > 1 and not batch.is_extend:
-                kv, out = self._burst_packed(
-                    self.params, self.kv_pool.kv, Bp, Tp, Pp, batch.burst,
-                    packed,
-                )
-                shape = (Bp, batch.burst)
-            else:
-                kv, out = self._step_packed(
-                    self.params, self.kv_pool.kv, Bp, Tp, Pp, packed
-                )
-                shape = (Bp,)
-            self.kv_pool.kv = kv
-            tokens, logprobs = self._split_out(np.asarray(out), shape)
-            return tokens[:B], logprobs[:B]
+        if self.is_hot_batch(batch) and not recording:
+            handle = self.forward_hot_async(batch)
+            return self.collect_hot(handle)
 
         # Cold paths (penalties / grammar / input-logprobs): unpacked meta.
         meta = ForwardMeta(
@@ -554,6 +647,12 @@ class ModelRunner:
             lora_ids = jnp.asarray(pad(batch.lora_ids, (Bp,)))
             lora_scale = jnp.asarray(pad(batch.lora_scale, (Bp,)))
 
+        def finish_cold(tokens):
+            # Keep the device slot table coherent so later overlapped hot
+            # decodes read the right feedback token.
+            if batch.slot_ids is not None:
+                self.write_tok_slots(batch.slot_ids, np.asarray(tokens)[:B])
+
         if batch.mm_override is not None:
             Hh = batch.mm_override.shape[2]
             ovr = jnp.asarray(pad(batch.mm_override, (Bp, Tp, Hh)))
@@ -562,6 +661,7 @@ class ModelRunner:
                 self.params, self.kv_pool.kv, meta, smeta, ovr, msk, key
             )
             self.kv_pool.kv = kv
+            finish_cold(tokens)
             return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
 
         if batch.ilp_targets is not None and batch.penalties is None:
@@ -572,6 +672,7 @@ class ModelRunner:
             )
             self.kv_pool.kv = kv
             batch.input_logprobs = np.asarray(ilp)[:B]
+            finish_cold(tokens)
             return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
 
         if lora is not None and batch.penalties is None:
@@ -580,6 +681,7 @@ class ModelRunner:
                 lora, lora_ids, lora_scale, key,
             )
             self.kv_pool.kv = kv
+            finish_cold(tokens)
             return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
 
         if recording and batch.penalties is None and lora is None:
@@ -588,6 +690,7 @@ class ModelRunner:
             )
             self.kv_pool.kv = kv
             self.expert_recorder.record(np.asarray(counts))
+            finish_cold(tokens)
             return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
 
         if batch.penalties is not None:
@@ -621,4 +724,5 @@ class ModelRunner:
                 lora, lora_ids, lora_scale,
             )
         self.kv_pool.kv = kv
+        finish_cold(tokens)
         return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]

@@ -97,7 +97,9 @@ def test_chat_program(backend):
     assert st.messages[0]["role"] == "system"
     assert st.messages[-1]["role"] == "assistant"
     assert st.messages[-1]["content"].startswith("answer: ")
-    assert len(st["a"]) > 0
+    # Sampled ids can fall outside the tiny trained vocab and decode to ""
+    # — assert on token count, not text length.
+    assert st.meta["a"]["completion_tokens"] == 6
 
 
 def test_fork(backend):
