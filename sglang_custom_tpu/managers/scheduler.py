@@ -274,11 +274,11 @@ class Scheduler:
         extend_lens: List[int],
     ) -> bool:
         """Match prefix, allocate pages, and add to the prefill batch.
-        Returns False to stop admission (memory or budget pressure)."""
-        # The input-logprob step variant and the penalized step variant are
-        # separate executables; don't mix their requests in one batch.
-        wants_ilp = r.sampling_params.return_input_logprob
-        wants_pen = r.sampling_params.needs_penalties or r.grammar is not None
+        Returns False to stop admission (memory or budget pressure).
+
+        Penalties, input logprobs, and LoRA compose in one executable
+        (_step_cold); only embedding batches and the multimodal-injection
+        step remain separate executables and must not mix."""
         if reqs and r.is_embedding != reqs[0].is_embedding:
             # Embedding batches run a pooled-hidden executable; never mix
             # them with generation rows (reference: is_generation split).
@@ -294,8 +294,10 @@ class Scheduler:
             )
             has_mm = any(x.mm_positions is not None for x in reqs)
             has_lora = any(x.lora_slot for x in reqs)
-            if (wants_ilp and has_pen) or (wants_pen and has_ilp):
-                return False
+            wants_pen = (
+                r.sampling_params.needs_penalties or r.grammar is not None
+            )
+            wants_ilp = r.sampling_params.return_input_logprob
             # the multimodal-injection step is its own executable; keep it
             # free of penalty/logprob/LoRA rows (and vice versa)
             if wants_mm and (has_pen or has_ilp or has_lora):
