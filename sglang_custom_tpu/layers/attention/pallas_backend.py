@@ -8,12 +8,20 @@ kernel (the pool is updated in place via input_output_aliases — no XLA
 scatter, no pool copies); extend scatters the new KV once, then runs the
 chunked-prefill kernel (causal within the extend, full over the cached
 prefix).
-"""
+
+Tensor parallelism: GSPMD cannot partition a custom call, so under tp>1
+the kernels run inside ``jax.shard_map`` over the ``tensor`` mesh axis —
+each shard attends over its local q/kv heads against its local slice of
+the pool (the pool is head-sharded, memory_pool.kv_cache_sharding), and no
+collective is needed inside the region (the reference's partitioned-heads
+TP attention semantics, layers/attention/flashinfer_backend.py +
+parallel_state.py)."""
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from sglang_custom_tpu.layers.attention.base import AttentionBackend, write_kv_pages
 from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
@@ -21,11 +29,23 @@ from sglang_custom_tpu.ops.ragged_paged_attention import (
     paged_attention_decode,
     paged_attention_extend,
 )
+from sglang_custom_tpu.parallel.mesh import TENSOR_AXIS
 
 
 class PallasAttentionBackend(AttentionBackend):
-    def __init__(self, interpret: bool = False):
+    def __init__(self, interpret: bool = False, mesh_ctx=None):
         self.interpret = interpret
+        # Sharded execution only when heads actually divide over the axis
+        # (model_runner gates this when constructing the backend).
+        self.mesh = None
+        if mesh_ctx is not None and mesh_ctx.tp_size > 1:
+            self.mesh = mesh_ctx.mesh
+
+    def _shard_map(self, fn, in_specs, out_specs):
+        return jax.shard_map(
+            fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
 
     def __call__(
         self,
@@ -40,34 +60,68 @@ class PallasAttentionBackend(AttentionBackend):
         softcap: float = 0.0,
     ):
         B, T, Hq, D = q.shape
+        h = P(None, TENSOR_AXIS)  # head-dim sharding fragment
         if T == 1:
             kv_new = jnp.concatenate(
                 [k_new[:, 0], v_new[:, 0]], axis=-1
             )  # [B, Hkv, 2D] folded
-            out, kv_pool = paged_attention_decode(
-                q[:, 0],
-                kv_new,
-                kv_pool,
-                layer,
-                meta.page_table,
-                meta.seq_lens,
-                scale=scale,
-                window=window,
-                softcap=softcap,
-                interpret=self.interpret,
+
+            def call_decode(q0, kvn, pool, layer, pt, sl, win):
+                return paged_attention_decode(
+                    q0, kvn, pool, layer, pt, sl,
+                    scale=scale, window=win, softcap=softcap,
+                    interpret=self.interpret,
+                )
+
+            win = jnp.asarray(
+                (1 << 30) if window is None else window, jnp.int32
+            )
+            if self.mesh is not None:
+                call = self._shard_map(
+                    call_decode,
+                    in_specs=(
+                        P(None, TENSOR_AXIS, None),    # q [B, Hq, D]
+                        P(None, TENSOR_AXIS, None),    # kv_new [B, Hkv, 2D]
+                        P(None, TENSOR_AXIS, None, None, None),  # pool
+                        P(), P(None, None), P(None), P(),
+                    ),
+                    out_specs=(
+                        P(None, TENSOR_AXIS, None),
+                        P(None, TENSOR_AXIS, None, None, None),
+                    ),
+                )
+            else:
+                call = call_decode
+            out, kv_pool = call(
+                q[:, 0], kv_new, kv_pool, jnp.asarray(layer, jnp.int32),
+                meta.page_table, meta.seq_lens, win,
             )
             return out[:, None], kv_pool
+
         kv_pool = write_kv_pages(k_new, v_new, kv_pool, layer, meta)
-        out = paged_attention_extend(
-            q,
-            kv_pool,
-            layer,
-            meta.page_table,
-            meta.seq_lens,
-            meta.extend_lens,
-            scale=scale,
-            window=window,
-            softcap=softcap,
-            interpret=self.interpret,
+
+        def call_extend(q0, pool, layer, pt, sl, el, win):
+            return paged_attention_extend(
+                q0, pool, layer, pt, sl, el,
+                scale=scale, window=win, softcap=softcap,
+                interpret=self.interpret,
+            )
+
+        win = jnp.asarray((1 << 30) if window is None else window, jnp.int32)
+        if self.mesh is not None:
+            call = self._shard_map(
+                call_extend,
+                in_specs=(
+                    P(None, None, TENSOR_AXIS, None),  # q [B, T, Hq, D]
+                    P(None, TENSOR_AXIS, None, None, None),
+                    P(), P(None, None), P(None), P(None), P(),
+                ),
+                out_specs=P(None, None, TENSOR_AXIS, None),
+            )
+        else:
+            call = call_extend
+        out = call(
+            q, kv_pool, jnp.asarray(layer, jnp.int32),
+            meta.page_table, meta.seq_lens, meta.extend_lens, win,
         )
         return out, kv_pool

@@ -188,12 +188,27 @@ class ModelRunner:
                     self.server_args.page_size,
                 )
                 choice = "xla"
+        tp = self.mesh_ctx.tp_size
+        if choice == "pallas" and tp > 1 and (
+            self.cfg.num_q_heads % tp or self.cfg.num_kv_heads % tp
+        ):
+            logger.warning(
+                "heads (%d q / %d kv) don't divide tp=%d; Pallas attention "
+                "needs head-sharded pools — falling back to XLA backend",
+                self.cfg.num_q_heads, self.cfg.num_kv_heads, tp,
+            )
+            choice = "xla"
         if choice == "pallas":
             from sglang_custom_tpu.layers.attention.pallas_backend import (
                 PallasAttentionBackend,
             )
 
-            return PallasAttentionBackend()
+            on_tpu = any(
+                d.platform == "tpu" for d in self.mesh_ctx.mesh.devices.flat
+            )
+            return PallasAttentionBackend(
+                interpret=not on_tpu, mesh_ctx=self.mesh_ctx
+            )
         return XlaAttentionBackend()
 
     # ------------------------------------------------------------- mem sizing
