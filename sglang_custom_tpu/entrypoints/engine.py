@@ -47,6 +47,20 @@ class Engine:
         configure_logger(server_args.log_level)
         self.server_args = server_args
 
+        # Multi-host: join the jax distributed runtime FIRST so
+        # jax.devices() below is the global (all-hosts) device set; the
+        # mesh then spans hosts (tensor within a host over ICI, data
+        # across hosts over DCN). Reference: --nnodes bootstrap,
+        # srt/server_args.py:136-138 + engine.py:762-780.
+        from sglang_custom_tpu.parallel.multihost import (
+            MultihostCoordinator,
+            follower_loop,
+            maybe_init_distributed,
+        )
+
+        self.is_multihost = maybe_init_distributed(server_args)
+        self.coordinator = None
+
         if devices is None:
             devices = (
                 jax.devices("cpu") if server_args.device == "cpu" else jax.devices()
@@ -79,6 +93,17 @@ class Engine:
             server_args, self.model_config, params, self.mesh_ctx,
             num_pages=num_pages,
         )
+
+        if self.is_multihost:
+            self.coordinator = MultihostCoordinator()
+            self.runner.coordinator = self.coordinator
+            if not self.coordinator.is_driver:
+                # Non-zero hosts never run frontend/scheduler: they mirror
+                # the driver's device steps until shutdown (the rank-0-only
+                # frontend split, reference engine.py:762-780).
+                follower_loop(self.runner, self.coordinator)
+                self._is_follower_done = True
+                return
 
         self.tokenizer = None
         if not server_args.skip_tokenizer_init:
@@ -694,6 +719,10 @@ class Engine:
                     f"architecture mismatch: {cfg.architecture} vs "
                     f"{self.model_config.architecture}"
                 )
+            if self.coordinator is not None and self.coordinator.is_driver:
+                self.coordinator.broadcast(
+                    {"op": "update_weights", "path": model_path}
+                )
             dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                      "float16": jnp.float16}[self.server_args.dtype]
             params = load_weights(
@@ -771,6 +800,10 @@ class Engine:
         self.scheduler.check_memory()
 
     def shutdown(self) -> None:
+        if getattr(self, "_is_follower_done", False):
+            return
+        if self.coordinator is not None and self.coordinator.is_driver:
+            self.coordinator.broadcast({"op": "shutdown"})
         self.scheduler_thread.shutdown()
 
     def __enter__(self):

@@ -706,6 +706,10 @@ def launch_server(server_args: ServerArgs, engine: Optional[Engine] = None) -> N
     """Blocking server entry (reference: launch_server.py)."""
     if engine is None:
         engine = Engine(server_args=server_args)
+    if getattr(engine, "_is_follower_done", False):
+        # host_rank > 0: the Engine ran the multi-host follower loop until
+        # shutdown; only host 0 serves HTTP (reference: engine.py:762-780).
+        return
     server = HttpServer(engine)
     logger.info("serving on http://%s:%d", server_args.host, server_args.port)
     loop = asyncio.new_event_loop()

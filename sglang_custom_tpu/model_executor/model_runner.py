@@ -117,7 +117,19 @@ class ModelRunner:
             max(server_args.max_running_requests + 1, 2)
         )
         self.tok_slots = jnp.zeros((self.num_tok_slots,), jnp.int32)
+        # Multi-host: set by the Engine; host 0 mirrors every step to the
+        # follower hosts so all processes enter the same XLA program
+        # (parallel/multihost.py).
+        self.coordinator = None
         self._build_step_fns()
+
+    def _mirror(self, kind: str, batch: HostBatch) -> None:
+        if self.coordinator is not None and self.coordinator.is_driver:
+            from sglang_custom_tpu.parallel.multihost import batch_to_wire
+
+            self.coordinator.broadcast(
+                {"op": kind, "batch": batch_to_wire(batch)}
+            )
 
     def _build_step_fns(self):
         """Jit the step variants with the pool's pinned layout declared at
@@ -539,6 +551,7 @@ class ModelRunner:
         the overlap scheduler's device half (reference:
         tp_worker_overlap_thread.py:137 forward_thread_func_)."""
         assert self.is_hot_batch(batch)
+        self._mirror("hot", batch)
         B = batch.batch_size
         Bp, Tp, Pp = self._buckets(batch)
         self._step_counter += 1
@@ -584,6 +597,20 @@ class ModelRunner:
     def forward(self, batch: HostBatch):
         """Run one step. Returns (token_ids [B] np.int32, logprobs [B] np.f32),
         sliced to the real batch size."""
+        recording = (
+            self.expert_recorder is not None
+            and self.expert_recorder.recording
+            # recording state is driver-local; followers couldn't mirror the
+            # recorded executable (program mismatch would wedge collectives)
+            and self.coordinator is None
+        )
+        if self.is_hot_batch(batch) and not recording:
+            # Hot paths: one packed upload, one packed download. Delegation
+            # first so the multi-host mirror sends exactly one op.
+            handle = self.forward_hot_async(batch)
+            return self.collect_hot(handle)
+        self._mirror("forward", batch)
+
         B = batch.batch_size
         Bp, Tp, Pp = self._buckets(batch)
         pad = self._pad
@@ -602,14 +629,6 @@ class ModelRunner:
             self.kv_pool.kv = kv
             batch.embeddings = np.asarray(emb)[:B]
             return np.zeros((B,), np.int32), np.zeros((B,), np.float32)
-
-        recording = (
-            self.expert_recorder is not None and self.expert_recorder.recording
-        )
-        # Hot paths: one packed upload, one packed download.
-        if self.is_hot_batch(batch) and not recording:
-            handle = self.forward_hot_async(batch)
-            return self.collect_hot(handle)
 
         # Cold paths (penalties / grammar / input-logprobs): unpacked meta.
         meta = ForwardMeta(

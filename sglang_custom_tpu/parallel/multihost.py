@@ -1,0 +1,155 @@
+"""Multi-host serving: jax distributed runtime + lock-step batch mirroring.
+
+Re-design of the reference's multi-node bootstrap (reference:
+srt/server_args.py:136-138 --nnodes/--node-rank/--dist-init-addr;
+entrypoints/engine.py:762-780 rank-0-only tokenizer/detokenizer/HTTP front;
+NCCL world spanning nodes with ZMQ broadcast of batch plans). TPU-native
+shape:
+
+- ``jax.distributed.initialize`` joins every host's chips into ONE global
+  device set; the (data, tensor) mesh spans them (tensor within a host on
+  ICI, data across hosts on DCN — parallel/mesh.py device order).
+- Host 0 runs the frontend + scheduler ("single controller"); every other
+  host runs ``follower_loop``: a lock-step mirror that receives each
+  step's HostBatch and invokes the SAME jitted executable, so all
+  processes participate in every GSPMD collective. This replaces the
+  reference's ZMQ broadcast_pyobj fan-out (managers/scheduler.py:999
+  recv_requests + broadcast).
+- The control plane rides ``multihost_utils.broadcast_one_to_all`` (the
+  jax distributed runtime's own collectives) — no extra sockets, works
+  identically on localhost CPU tests (tests/test_multihost.py) and DCN.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional
+
+import numpy as np
+
+from sglang_custom_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+# Payloads are padded to pow2 sizes so broadcast compiles a handful of
+# shapes, not one per batch.
+_MIN_PAYLOAD = 1 << 12
+
+
+def maybe_init_distributed(server_args) -> bool:
+    """Join the jax distributed runtime when --num-hosts > 1. Must run
+    before any device usage. Returns True when multi-host is active."""
+    if server_args.num_hosts <= 1:
+        return False
+    import jax
+
+    assert server_args.dist_init_addr, (
+        "--dist-init-addr required for num_hosts>1"
+    )
+    jax.distributed.initialize(
+        coordinator_address=server_args.dist_init_addr,
+        num_processes=server_args.num_hosts,
+        process_id=server_args.host_rank,
+    )
+    logger.info(
+        "joined jax distributed runtime: process %d/%d, %d global devices",
+        jax.process_index(), jax.process_count(), len(jax.devices()),
+    )
+    return True
+
+
+def _pow2(n: int) -> int:
+    b = _MIN_PAYLOAD
+    while b < n:
+        b *= 2
+    return b
+
+
+class MultihostCoordinator:
+    """Two-phase pickle broadcast from host 0 to all hosts."""
+
+    def __init__(self):
+        import jax
+
+        self.rank = jax.process_index()
+        self.nprocs = jax.process_count()
+
+    @property
+    def is_driver(self) -> bool:
+        return self.rank == 0
+
+    def broadcast(self, obj=None):
+        """Host 0 passes ``obj``; every host returns it."""
+        from jax.experimental import multihost_utils as mhu
+
+        if self.is_driver:
+            raw = pickle.dumps(obj)
+            size = np.asarray([len(raw)], np.int64)
+        else:
+            raw = b""
+            size = np.zeros((1,), np.int64)
+        size = np.asarray(mhu.broadcast_one_to_all(size))
+        n = int(size[0])
+        buf = np.zeros((_pow2(n),), np.uint8)
+        if self.is_driver:
+            buf[:n] = np.frombuffer(raw, np.uint8)
+        buf = np.asarray(mhu.broadcast_one_to_all(buf))
+        if self.is_driver:
+            return obj
+        return pickle.loads(buf[:n].tobytes())
+
+
+# ------------------------------------------------------------- batch wire
+
+_WIRE_FIELDS = (
+    "is_extend", "token_ids", "positions", "page_table", "seq_lens",
+    "extend_lens", "temperature", "top_k", "top_p", "min_p", "penalties",
+    "burst", "spec", "ilp_targets", "ilp_valid", "lora_ids", "lora_scale",
+    "is_embed", "mm_override", "mm_mask", "slot_ids", "use_slots",
+)
+
+
+def batch_to_wire(batch) -> dict:
+    d = {k: getattr(batch, k) for k in _WIRE_FIELDS}
+    d["n_reqs"] = len(batch.reqs)
+    return d
+
+
+def batch_from_wire(d: dict):
+    from sglang_custom_tpu.managers.schedule_batch import HostBatch
+
+    d = dict(d)
+    n = d.pop("n_reqs")
+    return HostBatch(reqs=[None] * n, **d)
+
+
+# --------------------------------------------------------------- follower
+
+def follower_loop(runner, coord: Optional[MultihostCoordinator] = None) -> None:
+    """Mirror loop for host_rank > 0: execute every step the driver
+    dispatches so all hosts enter the same XLA program (the reference's
+    non-zero-rank scheduler processes, engine.py:762-780)."""
+    coord = coord or MultihostCoordinator()
+    runner.coordinator = coord
+    logger.info("follower %d: serving mirror loop", coord.rank)
+    while True:
+        op = coord.broadcast()
+        kind = op["op"]
+        if kind == "hot":
+            runner.forward_hot_async(batch_from_wire(op["batch"]))
+        elif kind == "forward":
+            runner.forward(batch_from_wire(op["batch"]))
+        elif kind == "update_weights":
+            from sglang_custom_tpu.config.model_config import ModelConfig
+            from sglang_custom_tpu.model_loader.loader import load_weights
+
+            cfg = ModelConfig.from_model_path(op["path"])
+            runner.params = load_weights(
+                op["path"], cfg, runner.mesh_ctx, dtype=runner.dtype,
+                quantization=runner.server_args.quantization,
+            )
+        elif kind == "shutdown":
+            logger.info("follower %d: shutdown", coord.rank)
+            return
+        else:
+            raise RuntimeError(f"unknown multihost op {kind!r}")
