@@ -103,8 +103,11 @@ class ServerArgs:
 
     speculative_algorithm: Optional[str] = None  # None | eagle
     speculative_draft_model_path: Optional[str] = None
-    speculative_num_steps: int = 3
-    speculative_num_draft_tokens: int = 4
+    speculative_num_steps: int = 3       # tree depth (draft forwards)
+    speculative_num_draft_tokens: int = 4  # tree node budget
+    # top-k children per tree node (reference: --speculative-eagle-topk);
+    # 1 = chain drafting
+    speculative_eagle_topk: int = 1
 
     # Testing / dev
     device: str = "auto"               # auto | tpu | cpu

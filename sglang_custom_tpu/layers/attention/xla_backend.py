@@ -57,10 +57,23 @@ class XlaAttentionBackend(AttentionBackend):
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, 1, S), 4)
         q_pos = meta.positions[:, None, :, None, None]  # [B, 1, T, 1, 1]
         seq_l = meta.seq_lens[:, None, None, None, None]
-        mask = (kv_pos <= q_pos) & (kv_pos < seq_l)
-        if window is not None:
-            # HF sliding-window convention: attend iff q_pos - kv_pos < W.
-            mask = mask & (kv_pos > q_pos - window)
+        if meta.tree_mask is not None:
+            # Speculative-tree step: prefix kv (< tree_start) is fully
+            # attended; within the node region the static ancestor mask
+            # decides (reference: TARGET_VERIFY tree mask, eagle_utils.cu).
+            N = meta.tree_mask.shape[1]
+            ts = meta.tree_start[:, None, None, None, None]
+            rel = jnp.clip(kv_pos - ts, 0, N - 1)[:, 0, 0, 0, :]  # [B, S]
+            # tm[b, t, s] = tree_mask[t, rel[b, s]]
+            tm = jnp.moveaxis(meta.tree_mask[:, rel], 0, 1)  # [B, T, S]
+            tm = tm[:, None, :, None, :]
+            in_region = (kv_pos >= ts) & (kv_pos < ts + N)
+            mask = jnp.where(in_region, tm, kv_pos < ts) & (kv_pos < seq_l)
+        else:
+            mask = (kv_pos <= q_pos) & (kv_pos < seq_l)
+            if window is not None:
+                # HF sliding-window convention: attend iff q_pos - kv_pos < W.
+                mask = mask & (kv_pos > q_pos - window)
         scores = jnp.where(mask, scores, _NEG_INF)
 
         probs = jax.nn.softmax(scores, axis=-1)

@@ -440,9 +440,9 @@ class Scheduler:
     def _try_spec_decode_batch(self) -> Optional[HostBatch]:
         """Speculative decode batch: every row must be spec-warmed (prefill
         went through the spec path), penalty/grammar-free, and able to hold
-        K+1 more KV positions (reference: EAGLEWorker spec branch of
-        run_batch, scheduler.py:1885)."""
-        K1 = self.spec.num_draft + 1
+        the tree's node count + 1 more KV positions (reference: EAGLEWorker
+        spec branch of run_batch, scheduler.py:1885)."""
+        K1 = self.spec.kv_slots_per_step
         ctx = self.runner.context_len
         ok = all(
             getattr(r, "spec_ok", False)

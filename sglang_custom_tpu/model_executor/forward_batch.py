@@ -31,10 +31,22 @@ class ForwardMeta:
     """Traced metadata shipped to the jitted step. Shapes fixed per bucket."""
 
     token_ids: jax.Array   # [B, T] int32; padding = 0
-    positions: jax.Array   # [B, T] int32 absolute position of each token
+    positions: jax.Array   # [B, T] int32 absolute KV-slot position of each token
     page_table: jax.Array  # [B, PMAX] int32 page ids (garbage page 0 pads)
     seq_lens: jax.Array    # [B] int32 total tokens (incl. this step's); 0 = padding row
     extend_lens: jax.Array # [B] int32 new tokens this step (decode: 1)
+
+    # --- speculative-tree extensions (None for normal steps) ---
+    # RoPE positions when decoupled from KV-slot positions: tree nodes are
+    # stored at LINEAR slots (positions) but rotate at their tree DEPTH
+    # (reference: build_eagle_tree.py positions tensor).
+    rope_positions: jax.Array = None            # [B, T] int32 or None
+    # Tree attention mask over the node region: q token t may attend node
+    # region offset j iff tree_mask[t, j] (reference: tree_mask in
+    # eagle_utils.cu / TARGET_VERIFY custom mask). Prefix kv (< tree_start)
+    # stays fully attended; None = causal.
+    tree_mask: jax.Array = None                 # [T, N] bool or None
+    tree_start: jax.Array = None                # [B] int32 or None
 
     @property
     def batch_size(self) -> int:

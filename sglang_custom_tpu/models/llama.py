@@ -186,7 +186,8 @@ def forward_features(
         # positions take projected vision features instead of the lookup.
         x = jnp.where(mm_mask[..., None], mm_override.astype(x.dtype), x)
     inv_freq = jnp.asarray(rope_inv_freq(cfg))
-    cos, sin = rope_cos_sin(meta.positions, inv_freq)  # [B, T, D/2]
+    rp = meta.rope_positions if meta.rope_positions is not None else meta.positions
+    cos, sin = rope_cos_sin(rp, inv_freq)  # [B, T, D/2]
 
     def layer_fn(carry, xs):
         x, kv = carry

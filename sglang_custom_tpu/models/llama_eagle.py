@@ -113,7 +113,8 @@ def forward(
         params["fc"],
     )
     inv_freq = jnp.asarray(rope_inv_freq(cfg))
-    cos, sin = rope_cos_sin(meta.positions, inv_freq)
+    rp = meta.rope_positions if meta.rope_positions is not None else meta.positions
+    cos, sin = rope_cos_sin(rp, inv_freq)
 
     def layer_fn(carry, xs):
         x, kv = carry

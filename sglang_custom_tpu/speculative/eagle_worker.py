@@ -67,10 +67,23 @@ class SpecRunner:
 
     def __init__(self, runner, server_args, draft_cfg: ModelConfig,
                  draft_params: dict):
+        from sglang_custom_tpu.speculative.tree import build_topology
+
         self.runner = runner
         self.server_args = server_args
         self.algo = server_args.speculative_algorithm  # eagle | draft
-        self.num_draft = server_args.speculative_num_draft_tokens
+        # Static draft tree (reference: build_eagle_tree.py; chain when
+        # topk=1). num_steps = depth, num_draft_tokens = node budget.
+        self.topo = build_topology(
+            server_args.speculative_eagle_topk,
+            server_args.speculative_num_steps,
+            server_args.speculative_num_draft_tokens,
+        )
+        # KV slots a spec step needs (root + all tree nodes) and the most
+        # tokens it can emit (deepest path + bonus).
+        self.kv_slots_per_step = self.topo.n_nodes + 1
+        self.max_emit = self.topo.max_depth + 1
+        self.num_draft = self.topo.max_depth  # legacy alias
         self.draft_cfg = draft_cfg
         self.draft_params = draft_params
         self.draft_model = (
@@ -102,9 +115,55 @@ class SpecRunner:
         )
         self._free_slots = list(range(self.max_slots - 1, -1, -1))
         self.draft_backend = self._draft_backend()
+        # Tree steps need arbitrary ancestor masks, which the Pallas
+        # kernels don't express yet — the spec decode step runs the XLA
+        # backend (TODO: tree-mask support in the Pallas extend kernel).
+        self.spec_backend = XlaAttentionBackend()
+        self._build_tree_plan()
         # accept-length stats (reference: scheduler.py:1905 spec stats)
         self.num_spec_steps = 0
         self.num_accepted_tokens = 0
+
+    def _build_tree_plan(self) -> None:
+        """Static per-level draft-expansion plan from the topology:
+        which nodes are forwarded at each level, their draft KV slot
+        order, per-level ancestor masks, and child extraction specs."""
+        topo = self.topo
+        levels = [[0]] + topo.levels  # level 0 = root
+        has_child = (topo.children >= 0).any(axis=1)
+        self.fwd_levels = []
+        self.fwd_slot_of = {}
+        order = 0
+        for nodes in levels:
+            f = [n for n in nodes if has_child[n]]
+            if not f:
+                continue
+            self.fwd_levels.append(f)
+            for n in f:
+                self.fwd_slot_of[n] = order
+                order += 1
+        self.n_fwd = order
+
+        # draft attention masks: q = this level's forwarded nodes, kv =
+        # all forwarded nodes by slot order; attend iff ancestor-or-self
+        slot_nodes = sorted(self.fwd_slot_of, key=self.fwd_slot_of.get)
+        self.draft_masks = [
+            np.asarray(
+                [[topo.ancestors[q, m] for m in slot_nodes] for q in f],
+                bool,
+            )
+            for f in self.fwd_levels
+        ]
+        # child_specs[d]: (child verify idx, parent row in fwd_levels[d],
+        # child rank) for every node at depth d+1
+        self.child_specs = []
+        for d, f in enumerate(self.fwd_levels):
+            row_of = {n: i for i, n in enumerate(f)}
+            specs = []
+            for child in levels[d + 1] if d + 1 < len(levels) else []:
+                p = topo.parent[child - 1]
+                specs.append((child, row_of[p], topo.rank[child - 1]))
+            self.child_specs.append(specs)
 
     def _draft_backend(self):
         choice = self.server_args.attention_backend
@@ -208,98 +267,193 @@ class SpecRunner:
         self, tparams, dparams, kv, dkv, feat_pool,
         meta: ForwardMeta, smeta: SamplingMeta, slots, key,
     ):
-        """Fused draft-chain -> verify -> fix-up. Returns
-        (kv, dkv, feat_pool, tokens [B,K+1], logprobs [B,K+1], n_accept [B])."""
+        """Fused tree-draft -> tree-verify -> accept-walk -> compact ->
+        fix-up. Returns (kv, dkv, feat_pool, tokens [B, D+1],
+        logprobs [B, D+1], n_accept [B]).
+
+        Tree analog of the reference's draft (eagle_worker.py:503) + verify
+        (:636) + tree_speculative_sampling_target_only
+        (common_extension.cc:224): every emitted token is a TARGET sample
+        (temperature-correct by construction); the tree only raises the
+        probability that a draft child matches it.
+        """
         runner = self.runner
-        K = self.num_draft
+        topo = self.topo
+        N, D = topo.n_nodes, topo.max_depth
         B = meta.token_ids.shape[0]
         s = meta.positions[:, 0]          # pending-token position
         x_s = meta.token_ids[:, 0]
         eagle = self.algo == "eagle"
+        eps = runner.cfg.rms_norm_eps
+        # Draft node region base (EAGLE's stream is shifted by one:
+        # token_{t+1} with feature_t sits at draft position t).
+        dbase = s - 1 if eagle else s
 
         safe_slots = jnp.clip(slots, 0, self.max_slots - 1)
         feats0 = feat_pool[safe_slots]    # [B, H]
 
-        # ---- 1. draft chain (positions shift by -1 in EAGLE mode)
-        dpos0 = s - 1 if eagle else s
-
-        def dstep(carry, _):
-            dkv, tok, feat, dpos = carry
+        # ---- 1. draft tree expansion, one forward per level
+        vtok = [None] * (N + 1)
+        vtok[0] = x_s
+        feat_of = {0: feats0}
+        for d, F in enumerate(self.fwd_levels):
+            w = len(F)
+            toks = jnp.stack([vtok[n] for n in F], axis=1)  # [B, w]
+            slot_off = jnp.asarray(
+                [self.fwd_slot_of[n] for n in F], jnp.int32
+            )
+            depths = jnp.asarray(
+                [0 if n == 0 else topo.depth[n - 1] for n in F], jnp.int32
+            )
             dmeta = ForwardMeta(
-                token_ids=tok[:, None],
-                positions=dpos[:, None],
+                token_ids=toks,
+                positions=dbase[:, None] + slot_off[None, :],
                 page_table=meta.page_table,
-                seq_lens=dpos + 1,
-                extend_lens=jnp.ones_like(dpos),
+                seq_lens=dbase + int(self.fwd_slot_of[F[-1]]) + 1,
+                extend_lens=jnp.full((B,), w, jnp.int32),
+                rope_positions=dbase[:, None] + depths[None, :],
+                tree_mask=jnp.asarray(self.draft_masks[d]),
+                tree_start=dbase,
             )
             if eagle:
+                feats_in = jnp.stack([feat_of[n] for n in F], axis=1)
                 dh, dkv = self.draft_model.forward(
                     dparams, self.draft_cfg, dmeta, dkv,
-                    self.draft_backend, feat[:, None, :],
+                    self.spec_backend, feats_in,
                 )
-                dlogits = llama_eagle.compute_logits(dparams, dh[:, 0])
+                dlogits = llama_eagle.compute_logits(dparams, dh)
             else:
                 dh, dkv = self.draft_model.forward(
-                    dparams, self.draft_cfg, dmeta, dkv, self.draft_backend
+                    dparams, self.draft_cfg, dmeta, dkv, self.spec_backend
                 )
-                dlogits = self.draft_model.compute_last_logits(
-                    dparams, dh, dmeta
+                dlogits = jnp.einsum(
+                    "bth,hv->btv", dh, dparams["lm_head"],
+                    preferred_element_type=jnp.float32,
                 )
-            d = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
-            return (dkv, d, dh[:, 0], dpos + 1), d
+            _, topk_idx = jax.lax.top_k(dlogits, topo.topk)  # [B, w, k]
+            for child, prow, r in self.child_specs[d]:
+                vtok[child] = topk_idx[:, prow, r].astype(jnp.int32)
+                if eagle:
+                    feat_of[child] = dh[:, prow]
 
-        (dkv, _, _, _), drafts = jax.lax.scan(
-            dstep, (dkv, x_s, feats0, dpos0), None, length=K
-        )
-        drafts = drafts.T  # [B, K]
+        vtokens = jnp.stack(vtok, axis=1)  # [B, N+1]
 
-        # ---- 2. verify: one target extend over K+1 tokens
-        vtokens = jnp.concatenate([x_s[:, None], drafts], axis=1)  # [B, K+1]
-        vpos = s[:, None] + jnp.arange(K + 1, dtype=jnp.int32)[None, :]
+        # ---- 2. verify: ONE target extend over all tree nodes
+        vidx = jnp.arange(N + 1, dtype=jnp.int32)
+        vpos = s[:, None] + vidx[None, :]             # linear KV slots
+        vdepth = jnp.asarray([0] + list(topo.depth), jnp.int32)
         vmeta = ForwardMeta(
             token_ids=vtokens, positions=vpos, page_table=meta.page_table,
-            seq_lens=s + K + 1,
-            extend_lens=jnp.full((B,), K + 1, jnp.int32),
+            seq_lens=s + N + 1,
+            extend_lens=jnp.full((B,), N + 1, jnp.int32),
+            rope_positions=s[:, None] + vdepth[None, :],
+            tree_mask=jnp.asarray(topo.ancestors),
+            tree_start=s,
         )
         feats, kv = llama_like_features(
-            runner.model, tparams, runner.cfg, vmeta, kv, runner.attn_backend
+            runner.model, tparams, runner.cfg, vmeta, kv, self.spec_backend
         )
-        hidden = rms_norm(feats, tparams["final_norm"], runner.cfg.rms_norm_eps)
+        hidden = rms_norm(feats, tparams["final_norm"], eps)
         all_logits = jnp.einsum(
             "bth,hv->btv", hidden, tparams["lm_head"],
             preferred_element_type=jnp.float32,
-        )  # [B, K+1, V]
-        y = _sample_positions(all_logits, smeta, key)           # [B, K+1]
-        lps = _position_logprobs(all_logits, y)                 # [B, K+1]
+        )  # [B, N+1, V]
+        y = _sample_positions(all_logits, smeta, key)           # [B, N+1]
+        lps = _position_logprobs(all_logits, y)                 # [B, N+1]
 
-        # ---- 3. acceptance: longest draft prefix matching target samples
-        matches = (drafts == y[:, :K]).astype(jnp.int32)
-        lead = jnp.cumprod(matches, axis=1)
-        a = jnp.sum(lead, axis=1)        # [B] in [0, K]
-        n_accept = a + 1                 # tokens emitted this step
+        # ---- 3. acceptance walk: follow target samples down the tree
+        child_table = jnp.asarray(topo.children)  # [N+1, topk]
+        cur = jnp.zeros((B,), jnp.int32)
+        a = jnp.zeros((B,), jnp.int32)
+        alive = jnp.ones((B,), bool)
+        path = [cur]
+        for _ in range(D):
+            y_cur = jnp.take_along_axis(y, cur[:, None], axis=1)[:, 0]
+            ch = child_table[cur]                       # [B, topk]
+            ch_safe = jnp.maximum(ch, 0)
+            ch_tok = jnp.take_along_axis(vtokens, ch_safe, axis=1)
+            m = (ch_tok == y_cur[:, None]) & (ch >= 0)
+            has = m.any(axis=1)
+            first = jnp.argmax(m, axis=1)
+            nxt = jnp.take_along_axis(ch_safe, first[:, None], axis=1)[:, 0]
+            ok = alive & has
+            cur = jnp.where(ok, nxt, cur)
+            a = a + ok
+            alive = ok
+            path.append(cur)
+        path = jnp.stack(path, axis=1)  # [B, D+1] verify indices
 
-        # ---- 4. draft-extend fix-up with true features (EAGLE only)
+        out_tok = jnp.take_along_axis(y, path, axis=1)    # [B, D+1]
+        out_lp = jnp.take_along_axis(lps, path, axis=1)
+        n_accept = a + 1
+
+        # ---- 4. compact accepted-path KV to linear slots s+1..s+a
+        # (reference: KV compaction post-verify, eagle_utils assign_req_...)
+        kv = self._compact_kv(kv, meta.page_table, s, path, a)
+
+        # ---- 5. draft fix-up over EMITTED tokens with true target
+        # features, rewriting the draft's node-region KV linearly
+        # (reference: forward_draft_extend_after_decode)
+        # EAGLE: emitted token y_j (= x_{s+1+j}) pairs with feature_{s+j}
+        # and sits at draft position s+j. Plain draft: token x_t sits at
+        # position t, so y_j lands at s+1+j.
+        off = 0 if eagle else 1
+        fpos = s[:, None] + off + jnp.arange(D, dtype=jnp.int32)[None, :]
+        fmeta = ForwardMeta(
+            token_ids=out_tok[:, :D],
+            positions=fpos,
+            page_table=meta.page_table,
+            seq_lens=s + off + D,
+            extend_lens=jnp.full((B,), D, jnp.int32),
+        )
         if eagle:
-            fmeta = ForwardMeta(
-                token_ids=y[:, :K],
-                positions=vpos[:, :K],
-                page_table=meta.page_table,
-                # the fix-up rewrites positions s..s+K-1; later entries hold
-                # garbage that is overwritten before any read
-                seq_lens=s + K,
-                extend_lens=jnp.full((B,), K, jnp.int32),
-            )
+            featpath = jnp.take_along_axis(
+                feats, path[:, :D, None], axis=1
+            )  # [B, D, H]
             _, dkv = self.draft_model.forward(
                 dparams, self.draft_cfg, fmeta, dkv,
-                self.draft_backend, feats[:, :K],
+                self.spec_backend, featpath,
+            )
+        else:
+            _, dkv = self.draft_model.forward(
+                dparams, self.draft_cfg, fmeta, dkv, self.spec_backend
             )
 
-        # ---- 5. next-step feature = target hidden at the last accepted pos
-        new_feat = jnp.take_along_axis(feats, a[:, None, None], axis=1)[:, 0]
+        # ---- 6. next-step feature = target hidden at last accepted node
+        last_node = jnp.take_along_axis(path, a[:, None], axis=1)[:, 0]
+        new_feat = jnp.take_along_axis(
+            feats, last_node[:, None, None], axis=1
+        )[:, 0]
         feat_pool = feat_pool.at[slots].set(
             new_feat.astype(feat_pool.dtype), mode="drop"
         )
-        return kv, dkv, feat_pool, y, lps, n_accept
+        return kv, dkv, feat_pool, out_tok, out_lp, n_accept
+
+    def _compact_kv(self, kv, page_table, s, path, a):
+        """Move accepted-path node KV from scattered tree slots to the
+        linear positions s+1..s+a (gather-then-scatter on the flat pool;
+        invalid rows land in the garbage page)."""
+        ps = self.runner.page_size
+        B, D1 = path.shape
+        D = D1 - 1
+        if D == 0:
+            return kv
+        j = jnp.arange(1, D + 1, dtype=jnp.int32)
+        src_pos = s[:, None] + path[:, 1:]
+        dst_pos = s[:, None] + j[None, :]
+        valid = j[None, :] <= a[:, None]
+
+        def flat(pos):
+            page = jnp.take_along_axis(page_table, pos // ps, axis=1)
+            return page * ps + pos % ps
+
+        srcf = flat(src_pos).reshape(-1)
+        dstf = jnp.where(valid, flat(dst_pos), 0).reshape(-1)
+        L, Hkv, P, psz, F = kv.shape
+        kvflat = kv.reshape(L, Hkv, P * psz, F)
+        vals = kvflat[:, :, srcf]
+        kvflat = kvflat.at[:, :, dstf].set(vals, mode="drop")
+        return kvflat.reshape(kv.shape)
 
     # ------------------------------------------------------------- host API
 
