@@ -312,9 +312,18 @@ class Scheduler:
         cached_len = min(m.matched_len, max_cached)
         pages = m.pages[: cached_len // self.page_size]
 
+        # Lock the matched path BEFORE any eviction below: _ensure_free_pages
+        # evicts LRU leaves, and an unlocked just-matched node is exactly such
+        # a leaf — its pages would be freed and re-allocated to this very
+        # request as "new" pages, corrupting KV and double-inserting pages
+        # into the tree at finish. (Reference: PrefillAdder locks tree nodes
+        # during admission, schedule_policy.py:495 add_one_req.)
+        self.tree_cache.inc_lock_ref(m.last_node)
+
         remaining = len(r.fill_ids) - cached_len
         ext = min(remaining, self.server_args.chunked_prefill_size, budget.rem_tokens)
         if ext <= 0:
+            self.tree_cache.dec_lock_ref(m.last_node)
             return False
         # Memory feasibility: pages for this extend (+ the whole batch keeps
         # decoding after) — conservative check mirroring PrefillAdder's
@@ -323,10 +332,12 @@ class Scheduler:
             (cached_len + ext + self.page_size - 1) // self.page_size - len(pages)
         )
         if not self._ensure_free_pages(new_pages_needed):
+            self.tree_cache.dec_lock_ref(m.last_node)
             return False
 
         if r.tok_slot is None:
             if not self._free_slots:
+                self.tree_cache.dec_lock_ref(m.last_node)
                 return False
             r.tok_slot = self._free_slots.pop()
         new_pages = self.allocator.alloc(new_pages_needed)
@@ -337,7 +348,6 @@ class Scheduler:
         self.num_cached_tokens += cached_len
         r.page_list = list(pages) + new_pages
         r.last_node = m.last_node
-        self.tree_cache.inc_lock_ref(m.last_node)
 
         if ext < remaining:
             r.is_chunked = True

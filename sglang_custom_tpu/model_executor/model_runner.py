@@ -153,14 +153,14 @@ class ModelRunner:
         # Hot paths additionally donate-and-return the token-slot table.
         self._step_packed = jax.jit(
             self._step_packed_impl,
-            static_argnums=(3, 4, 5, 6),
+            static_argnums=(3, 4, 5, 6, 7, 8),
             donate_argnums=(1, 2),
             in_shardings=(None, fmt, None, None),
             out_shardings=(fmt, None, None),
         )
         self._burst_packed = jax.jit(
             self._burst_packed_impl,
-            static_argnums=(3, 4, 5, 6, 7),
+            static_argnums=(3, 4, 5, 6, 7, 8, 9),
             donate_argnums=(1, 2),
             in_shardings=(None, fmt, None, None),
             out_shardings=(fmt, None, None),
@@ -342,7 +342,8 @@ class ModelRunner:
         return tokens, logprobs
 
     def _step_packed_impl(self, params, kv, tok_slots, B: int, T: int,
-                          P: int, use_slots: bool, packed):
+                          P: int, use_slots: bool, any_stoch: bool,
+                          any_filt: bool, packed):
         meta, smeta, key, slot_ids = self._unpack_meta(
             packed, B, T, P, tok_slots, use_slots
         )
@@ -350,13 +351,17 @@ class ModelRunner:
             params, self.cfg, meta, kv, self.attn_backend
         )
         logits = self.model.compute_last_logits(params, hidden, meta, self.cfg)
-        tokens = sample(logits, smeta, key)
+        tokens = sample(
+            logits, smeta, key,
+            any_stochastic=any_stoch, any_filtered=any_filt,
+        )
         logprobs = compute_token_logprobs(logits, tokens)
         tok_slots = tok_slots.at[slot_ids].set(tokens, mode="drop")
         return kv, tok_slots, self._pack_out(tokens, logprobs)
 
     def _burst_packed_impl(self, params, kv, tok_slots, B: int, T: int,
-                           P: int, K: int, use_slots: bool, packed):
+                           P: int, K: int, use_slots: bool, any_stoch: bool,
+                           any_filt: bool, packed):
         from jax import lax
 
         meta, smeta, key, slot_ids = self._unpack_meta(
@@ -376,7 +381,10 @@ class ModelRunner:
                 params, self.cfg, m, kv, self.attn_backend
             )
             logits = self.model.compute_last_logits(params, hidden, m, self.cfg)
-            tok2 = sample(logits, smeta, jax.random.fold_in(key, i))
+            tok2 = sample(
+                logits, smeta, jax.random.fold_in(key, i),
+                any_stochastic=any_stoch, any_filtered=any_filt,
+            )
             lp = compute_token_logprobs(logits, tok2)
             return (kv, tok2, pos + 1, seq_lens + 1), (tok2, lp)
 
@@ -531,6 +539,22 @@ class ModelRunner:
         Pp = max(Pp, pages)
         return Bp, Tp, Pp
 
+    def _sampling_flags(self, batch: HostBatch):
+        """Host-known static sampling flags that specialize the hot
+        executables (sampler.py sample(): pure-greedy batches compile to a
+        single argmax). One executable per (any_stochastic, any_filtered)
+        combination — the jit-cache analog of the reference's host-side
+        greedy-vs-sampling dispatch (srt/layers/sampler.py:29)."""
+        if not bool(np.any(batch.temperature > 0.0)):
+            return False, False
+        V = self.cfg.vocab_size
+        any_filt = bool(
+            np.any((batch.top_k > 0) & (batch.top_k < V))
+            or np.any(batch.top_p < 1.0)
+            or np.any(batch.min_p > 0.0)
+        )
+        return True, any_filt
+
     @staticmethod
     def is_hot_batch(batch: HostBatch) -> bool:
         """Whether the batch rides the packed single-upload/-download
@@ -557,16 +581,18 @@ class ModelRunner:
         self._step_counter += 1
         packed = self._pack_meta(batch, Bp, Tp, Pp, self._pad)
         use_slots = bool(batch.use_slots) and not batch.is_extend
+        any_stoch, any_filt = self._sampling_flags(batch)
         if batch.burst > 1 and not batch.is_extend:
             kv, slots, out = self._burst_packed(
                 self.params, self.kv_pool.kv, self.tok_slots,
-                Bp, Tp, Pp, batch.burst, use_slots, packed,
+                Bp, Tp, Pp, batch.burst, use_slots, any_stoch, any_filt,
+                packed,
             )
             shape = (Bp, batch.burst)
         else:
             kv, slots, out = self._step_packed(
                 self.params, self.kv_pool.kv, self.tok_slots,
-                Bp, Tp, Pp, use_slots, packed,
+                Bp, Tp, Pp, use_slots, any_stoch, any_filt, packed,
             )
             shape = (Bp,)
         self.kv_pool.kv = kv
