@@ -131,19 +131,24 @@ def _decode_kernel(
     # scalar prefetch
     page_table_ref,  # [B * PMAX] int32 (SMEM)
     seq_lens_ref,    # [B] int32 (SMEM)
+    group_of_ref,    # [MAXK] int32 (SMEM) — flat work item -> row group
+    strip_of_ref,    # [MAXK] int32 (SMEM) — flat work item -> strip index
+    flags_ref,       # [MAXK] int32 (SMEM) — bit0 first-of-group, bit1 last
+    total_ref,       # [1] int32 (SMEM) — number of live flat work items
     window_ref,      # [1] int32 (SMEM) — sliding window (FULL_WINDOW = none)
     layer_ref,       # [1] int32 (SMEM) — which pool layer
     # inputs
-    q_ref,           # [1, Hq, D or 2D] (VMEM block)
-    kvnew_ref,       # [1, Hkv, 2D] (VMEM block) — this step's K|V for row b
+    q_ref,           # [B, Hkv, G, D or 2D] (VMEM, whole array)
+    kvnew_ref,       # [B, Hkv, 2D] (VMEM) — this step's K|V per row
     kv_ref,          # [L, Hkv, P, ps, 2D] (HBM / ANY) — full pool
     # outputs
-    o_ref,           # [1, Hq, D or 2D] (VMEM block)
+    o_ref,           # [B, Hkv, G, D or 2D] (VMEM)
     kv_out_ref,      # [L, Hkv, P, ps, 2D] (HBM) — aliased with kv_ref
     # scratch
-    kv_scratch,      # [2, Hkv, KB*ps, 2D] (VMEM)
-    sems,            # [2, KB] DMA semaphores
-    wb_sem,          # () DMA semaphore for the page write-back
+    ring,            # [NS, R, Hkv, KB*ps, 2D] (VMEM) strip ring buffer
+    sems,            # [NS, R, KB] DMA semaphores (strip fetches)
+    wb_sems,         # [NS, R] DMA semaphores (page write-backs)
+    wb_flags,        # [NS, R] int32 (SMEM) — write-back pending per slot/row
     *,
     scale: float,
     pmax: int,
@@ -153,102 +158,188 @@ def _decode_kernel(
     fold: bool,
     softcap: float,
 ):
-    """Fused decode: writes this step's K/V token into its page *inside the
-    kernel* (the page is read-modify-written while it is already in VMEM for
-    attention), so the step needs no separate XLA scatter and the pool is
-    updated in place via input_output_aliases. This replaces the reference's
-    set_kv_buffer + decode kernel pair (srt/layers/attention/
-    triton_ops/decode_attention.py) with one pass over the data."""
-    b = pl.program_id(0)
-    ps = kv_scratch.shape[2] // kb
-    S = kv_scratch.shape[2]
+    """Fused decode over a FLAT pipelined work list.
+
+    Round-2's kernel ran one grid program per batch row: 64 rows x 16
+    layers = 1024 serialized programs per token-step, each paying strip-DMA
+    latency with no cross-row overlap (measured 3.4 ms/step vs the 0.8 ms
+    KV-bandwidth floor). This version is a single program that walks a
+    host-precomputed flat list of (row-group, strip) work items with an
+    NS-deep DMA ring, so up to (NS-1)*R*KB page fetches are in flight at
+    all times and softmax updates for group k overlap the fetches for
+    groups k+1..k+NS-1. Rows are processed R at a time so each online-
+    softmax update is one batched [R*Hkv] matmul pair (amortizing VPU/MXU
+    fixed costs), and matmuls consume the KV strips in the pool dtype
+    directly (bf16 on the MXU) instead of materializing an f32 copy.
+
+    This step's K/V token is still written into its page *inside* the
+    kernel (read-modify-write while the page is in VMEM for attention), so
+    the step needs no separate XLA scatter; the pool updates in place via
+    input_output_aliases. Replaces the reference's set_kv_buffer + decode
+    kernel pair (srt/layers/attention/triton_ops/decode_attention.py) with
+    one pass over the data."""
+    NS, R = ring.shape[0], ring.shape[1]
+    S = ring.shape[3]
+    ps = S // kb
     D = head_dim
-    Dq = q_ref.shape[2]      # D (split) or 2D (folded)
-    Hq = q_ref.shape[1]
-    G = Hq // num_kv_heads
+    Dq = q_ref.shape[3]      # D (split) or 2D (folded)
+    Hkv = num_kv_heads
+    G = q_ref.shape[2]
     layer = layer_ref[0]
+    total = total_ref[0]
+    window = window_ref[0]
 
-    seq_len = seq_lens_ref[b]
-    n_strips = pl.cdiv(seq_len, S)
-    # Sliding window: the q token (position seq_len-1) attends to kv
-    # positions >= lo; whole strips below lo are never DMA'd.
-    lo = jnp.maximum(seq_len - window_ref[0], 0)
-    first = lo // S
-
-    # The new token lives at position seq_len-1 — always in the LAST strip,
-    # so its patched page is never re-read by a later iteration and the
-    # write-back slot is never recycled before the DMA drains.
-    w_pos = seq_len - 1
-    w_row = w_pos % S                   # row within the strip
-    w_page_idx = jnp.minimum(w_pos // ps, pmax - 1)
-    w_page = page_table_ref[b * pmax + w_page_idx]
-    w_off = (w_row // ps) * ps          # page-aligned offset within scratch
-
-    def strip_dmas(slot, i):
-        return _strip_dmas(
-            kv_ref, kv_scratch, sems, page_table_ref,
-            layer=layer, slot=slot, strip=i, kb=kb, ps=ps, pmax=pmax,
-            row_off=b * pmax,
-        )
-
-    def writeback_dma(slot):
+    def wb_dma(slot, r, w_off, w_page):
         return pltpu.make_async_copy(
-            kv_scratch.at[slot, :, pl.ds(w_off, ps)],
+            ring.at[slot, r, :, pl.ds(w_off, ps)],
             kv_out_ref.at[layer, :, w_page],
-            wb_sem,
+            wb_sems.at[slot, r],
         )
 
-    for d in strip_dmas(0, first):
-        d.start()
+    def wb_wait(slot, r):
+        # Waits are by byte count; the page shape is static, so a
+        # descriptor with any valid offsets drains the pending copy.
+        wb_dma(slot, r, 0, 0).wait()
 
-    q = q_ref[0].reshape(num_kv_heads, G, Dq).astype(jnp.float32)
-
-    def body(t, carry):
-        m, l, acc = carry
-        i = first + t
-        slot = t % 2
-
-        @pl.when(i + 1 < n_strips)
-        def _():
-            for d in strip_dmas((t + 1) % 2, i + 1):
-                d.start()
-
-        for d in strip_dmas(slot, i):
-            d.wait()
-
-        @pl.when(i == n_strips - 1)
-        def _():
-            # Patch the stale row with this step's K/V, write the whole
-            # (page-aligned) page back to HBM, and leave the patched strip
-            # in scratch for the attention matmuls below.
-            rows = jax.lax.broadcasted_iota(
-                jnp.int32, (1, S, 1), 1
-            )
-            patched = jnp.where(
-                rows == w_row,
-                kvnew_ref[0][:, None, :].astype(kv_scratch.dtype),
-                kv_scratch[slot],
-            )
-            kv_scratch[slot] = patched
-            writeback_dma(slot).start()
-
-        strip = kv_scratch[slot].astype(jnp.float32)  # [Hkv, S, 2D]
-        kv_pos = i * S + jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
-        return _attn_strip(
-            q, strip, scale=scale,
-            valid_mask=(kv_pos < seq_len) & (kv_pos >= lo),
-            m=m, l=l, acc=acc, fold=fold, D=D, softcap=softcap,
+    def strip_dma(slot, r, row, i, j):
+        idx = jnp.minimum(i * kb + j, pmax - 1)
+        page = page_table_ref[row * pmax + idx]
+        return pltpu.make_async_copy(
+            kv_ref.at[layer, :, page],
+            ring.at[slot, r, :, pl.ds(j * ps, ps)],
+            sems.at[slot, r, j],
         )
+
+    def issue(k):
+        """Start the R*KB page fetches of flat work item k."""
+        slot = jax.lax.rem(k, NS)
+        g = group_of_ref[k]
+        i = strip_of_ref[k]
+        for r in range(R):
+            @pl.when(wb_flags[slot, r] == 1)
+            def _():
+                wb_wait(slot, r)
+                wb_flags[slot, r] = 0
+            for j in range(kb):
+                strip_dma(slot, r, g * R + r, i, j).start()
+
+    for s in range(NS):
+        for r in range(R):
+            wb_flags[s, r] = 0
+    # Fill the pipeline: NS-1 work items in flight (the consuming iteration
+    # re-issues into the slot it just drained, one iteration behind).
+    for kk in range(NS - 1):
+        @pl.when(kk < total)
+        def _():
+            issue(kk)
 
     Dacc = 2 * D if fold else D
-    m0 = jnp.full((num_kv_heads, G, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((num_kv_heads, G, 1), jnp.float32)
-    acc0 = jnp.zeros((num_kv_heads, G, Dacc), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_strips - first, body, (m0, l0, acc0))
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S, 2 * D), 1)
 
-    out = acc / jnp.maximum(l, 1e-30)
-    o_ref[0] = out.reshape(Hq, Dacc).astype(o_ref.dtype)
-    writeback_dma((n_strips - 1 - first) % 2).wait()
+    def body(k, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(k, NS)
+        g = group_of_ref[k]
+        i = strip_of_ref[k]
+        fl = flags_ref[k]
+        is_first = (fl & 1) == 1
+        is_last = (fl & 2) == 2
+
+        for r in range(R):
+            for j in range(kb):
+                strip_dma(slot, r, g * R + r, i, j).wait()
+
+        # Reset the online-softmax state at each group's first strip.
+        m = jnp.where(is_first, _NEG_INF, m)
+        l = jnp.where(is_first, 0.0, l)
+        acc = jnp.where(is_first, 0.0, acc)
+
+        # Per-row: patch this step's token into the strip that holds
+        # position seq_len-1 and write that page back to HBM.
+        sls = []
+        for r in range(R):
+            sl_r = seq_lens_ref[g * R + r]
+            sls.append(sl_r)
+            is_rows_last = i == (sl_r - 1) // S
+
+            @pl.when(is_rows_last)
+            def _():
+                w_pos = sl_r - 1
+                w_row = w_pos - i * S
+                newkv = kvnew_ref[g * R + r]  # [Hkv, 2D]
+                ring[slot, r] = jnp.where(
+                    row_iota == w_row,
+                    newkv[:, None, :].astype(ring.dtype),
+                    ring[slot, r],
+                )
+                w_page = page_table_ref[
+                    (g * R + r) * pmax + jnp.minimum(w_pos // ps, pmax - 1)
+                ]
+                wb_dma(slot, r, (w_row // ps) * ps, w_page).start()
+                wb_flags[slot, r] = 1
+
+        # Collapse (R, Hkv) -> one batch dim (Mosaic matmuls support a
+        # single batch dim; leading-dim merges are free relayouts).
+        strip = ring[slot].reshape(R * Hkv, S, 2 * D)  # pool dtype
+        qg = q_ref[pl.ds(g * R, R)].astype(strip.dtype)
+        qg = qg.reshape(R * Hkv, G, Dq)
+        kmat = strip if fold else strip[..., :D]
+        s = jax.lax.dot_general(
+            qg, kmat,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [R*Hkv, G, S]
+        if softcap:
+            s = softcap * jnp.tanh(s / softcap)
+        kv_pos = i * S + jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+        masks = []
+        for r in range(R):
+            lo_r = jnp.maximum(sls[r] - window, 0)
+            masks.append(
+                jnp.broadcast_to(
+                    (kv_pos < sls[r]) & (kv_pos >= lo_r), (Hkv, 1, S)
+                )
+            )
+        s = jnp.where(jnp.concatenate(masks, axis=0), s, _NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m - m_new)
+        l = l * correction + jnp.sum(p, axis=-1, keepdims=True)
+        vmat = strip if fold else strip[..., D:]
+        pv = jax.lax.dot_general(
+            p.astype(strip.dtype), vmat,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [R*Hkv, G, Dacc]
+        acc = acc * correction + pv
+
+        @pl.when(is_last)
+        def _():
+            # Rows shorter than the group's longest see only fully-masked
+            # strips after their own end (p == 0 -> state frozen), so every
+            # row's output is final here.
+            out = acc / jnp.maximum(l, 1e-30)
+            o_ref[pl.ds(g * R, R)] = out.reshape(
+                R, Hkv, G, Dq
+            ).astype(o_ref.dtype)
+
+        @pl.when(k + NS - 1 < total)
+        def _():
+            issue(k + NS - 1)
+
+        return m_new, l, acc
+
+    m0 = jnp.full((R * Hkv, G, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((R * Hkv, G, 1), jnp.float32)
+    acc0 = jnp.zeros((R * Hkv, G, Dacc), jnp.float32)
+    jax.lax.fori_loop(0, total, body, (m0, l0, acc0))
+
+    for s in range(NS):
+        for r in range(R):
+            @pl.when(wb_flags[s, r] == 1)
+            def _():
+                wb_wait(s, r)
 
 
 def _extend_kernel(
@@ -489,57 +580,112 @@ def paged_attention_decode(
     interpret: bool = False,
 ):
     """Single-token-per-sequence paged attention with fused in-place KV
-    insert. Returns (out [B, Hq, D], updated kv_pool — same buffer)."""
+    insert. Returns (out [B, Hq, D], updated kv_pool — same buffer).
+
+    See _decode_kernel: one pipelined program over a flat (row-group,
+    strip) work list. The flat maps are computed here (host side of the
+    jit) from seq_lens; groups of R rows share strip iterations, so the
+    scheduler should keep decode batches roughly sorted by context length
+    to minimize masked-strip DMA waste (uniform batches waste nothing)."""
     B, Hq, D = q.shape
     L, num_kv_heads, P, ps = kv_pool.shape[:4]
     fold = D % 128 != 0
     Dq = 2 * D if fold else D
-    kvf = kv_pool  # already stored K|V-folded
     kvn = kv_new.astype(kv_pool.dtype)
     pmax = page_table.shape[1]
     kb = min(_strip_pages(ps, kv_pool.dtype), pmax)
+    S = kb * ps
     q = _fold_q(q, fold)
-    window_arr = (
-        jnp.full((1,), 1 << 30, jnp.int32)
-        if window is None
-        else jnp.asarray(window, jnp.int32).reshape(1)
+
+    R = min(8, B)
+    if B % R:
+        padB = R * pl.cdiv(B, R) - B
+        q = jnp.pad(q, ((0, padB), (0, 0), (0, 0)))
+        kvn = jnp.pad(kvn, ((0, padB), (0, 0), (0, 0)))
+        page_table = jnp.pad(page_table, ((0, padB), (0, 0)))
+        seq_lens = jnp.pad(seq_lens, (0, padB), constant_values=1)
+    Bp = q.shape[0]
+    G_ = Bp // R
+    G = Hq // num_kv_heads
+    qh = q.reshape(Bp, num_kv_heads, G, Dq)
+
+    # Flat (group, strip) work list. Window skips whole strips below the
+    # group's lowest visible position.
+    win = (1 << 30) if window is None else window
+    n_strips = (seq_lens + S - 1) // S                       # [Bp]
+    first = jnp.maximum(seq_lens - win, 0) // S              # [Bp]
+    first_g = first.reshape(G_, R).min(axis=1)               # [G_]
+    n_g = n_strips.reshape(G_, R).max(axis=1)                # [G_]
+    counts = n_g - first_g                                   # [G_] >= 1
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )                                                        # [G_+1]
+    total = starts[G_].reshape(1)
+    max_strips = -(-pmax // kb)
+    kidx = jnp.arange(G_ * max_strips, dtype=jnp.int32)
+    g_of = jnp.clip(
+        jnp.searchsorted(starts[1:], kidx, side="right"), 0, G_ - 1
+    ).astype(jnp.int32)
+    strip_of = kidx - starts[g_of] + first_g[g_of]
+    flags = (
+        (kidx == starts[g_of]).astype(jnp.int32)
+        + 2 * (kidx == starts[g_of + 1] - 1).astype(jnp.int32)
     )
+
+    window_arr = jnp.full((1,), win, jnp.int32)
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    # Ring depth: enough in-flight bytes to hide DMA latency, bounded by
+    # VMEM (slots are R * Hkv * S * 2D each).
+    slot_bytes = R * num_kv_heads * S * 2 * D * kv_pool.dtype.itemsize
+    NS = int(max(2, min(4, (6 * 2**20) // max(slot_bytes, 1))))
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, pmax=pmax, kb=kb,
         num_kv_heads=num_kv_heads, head_dim=D, fold=fold, softcap=softcap,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(B,),
+        num_scalar_prefetch=8,
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, Hq, Dq), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, num_kv_heads, 2 * D), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(
+                (Bp, num_kv_heads, G, Dq), lambda i, *_: (0, 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (Bp, num_kv_heads, 2 * D), lambda i, *_: (0, 0, 0)
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, Hq, Dq), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(
+                (Bp, num_kv_heads, G, Dq), lambda i, *_: (0, 0, 0, 0)
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, num_kv_heads, kb * ps, 2 * D), kv_pool.dtype),
-            pltpu.SemaphoreType.DMA((2, kb)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((NS, R, num_kv_heads, S, 2 * D), kv_pool.dtype),
+            pltpu.SemaphoreType.DMA((NS, R, kb)),
+            pltpu.SemaphoreType.DMA((NS, R)),
+            pltpu.SMEM((NS, R), jnp.int32),
         ],
     )
     out, kvf = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, Hq, Dq), q.dtype),
-            jax.ShapeDtypeStruct(kvf.shape, kvf.dtype),
+            jax.ShapeDtypeStruct(qh.shape, q.dtype),
+            jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
         ),
-        # Args flatten as (page_table, seq_lens, window, layer, q, kv_new,
-        # kvf) -> kvf is input 6; aliased onto output 1 (the pool).
-        input_output_aliases={6: 1},
+        # Args flatten as (page_table, seq_lens, group_of, strip_of, flags,
+        # total, window, layer, q, kv_new, kvf) -> kvf is input 10; aliased
+        # onto output 1 (the pool).
+        input_output_aliases={10: 1},
         interpret=interpret,
-    )(page_table.reshape(-1), seq_lens, window_arr, layer_arr, q, kvn, kvf)
+    )(
+        page_table.reshape(-1), seq_lens, g_of, strip_of, flags, total,
+        window_arr, layer_arr, qh, kvn, kv_pool,
+    )
+    out = out.reshape(Bp, Hq, Dq)[:B]
     if fold:
         out = out[..., D:]
     return out, kvf
