@@ -61,6 +61,11 @@ class ServerArgs:
     # finish checks run while the device computes. Disabled automatically
     # for speculative decoding.
     disable_overlap_schedule: bool = False
+    # In-flight dispatched hot batches before the scheduler blocks on a
+    # result fetch. >2 hides device->host latency on remote-attached chips
+    # (each fetch costs a tunnel roundtrip); the cost is (depth-1) bursts
+    # of extra token latency before finish checks see a token.
+    overlap_inflight: int = 2
 
     # Parallelism (mesh axes over ICI/DCN)
     tp_size: int = 1                   # tensor axis

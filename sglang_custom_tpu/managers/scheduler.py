@@ -151,7 +151,7 @@ class Scheduler:
             self._mark_dispatched(batch)
             handle = self.runner.forward_hot_async(batch)
             self.inflight.append((batch, handle))
-            if len(self.inflight) > 1:
+            if len(self.inflight) >= self.server_args.overlap_inflight:
                 return self._collect_one()
             return []
 

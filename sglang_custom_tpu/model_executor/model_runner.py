@@ -84,6 +84,17 @@ class ModelRunner:
         self.page_size = server_args.page_size
         self.model = get_model(cfg.architecture)
         self.attn_backend = self._create_attn_backend()
+        # Fused lm_head+sampler kernel (ops/lm_head.py): only when the
+        # Pallas path is live and the lm_head is replicated (tp shards the
+        # vocab dim; the sharded merge is not implemented).
+        from sglang_custom_tpu.layers.attention.pallas_backend import (
+            PallasAttentionBackend,
+        )
+
+        self._fused_lm = (
+            isinstance(self.attn_backend, PallasAttentionBackend)
+            and mesh_ctx.tp_size == 1
+        )
 
         self.context_len = server_args.context_length or cfg.max_position_embeddings
         self.max_pages_per_req = (
@@ -341,6 +352,41 @@ class ModelRunner:
         logprobs = out_np[n:].view(np.float32).reshape(shape)
         return tokens, logprobs
 
+    def _logits_sample(self, params, hidden, meta, smeta, key,
+                       any_stoch: bool, any_filt: bool):
+        """lm_head + sampling + chosen-token logprob for the hot paths.
+
+        When no row needs top-k/p/min-p filtering and the lm_head is a
+        plain (unquantized, unsharded) matrix, this runs the fused Pallas
+        kernel (ops/lm_head.py): one streaming pass over the weight, no
+        [B, V] logits tensor in HBM. Otherwise: the XLA einsum + sampler
+        (the reference's LogitsProcessor + Sampler split,
+        logits_processor.py:196 / sampler.py:29)."""
+        if (
+            self._fused_lm
+            and not any_filt
+            and isinstance(params.get("lm_head"), jax.Array)
+        ):
+            from sglang_custom_tpu.ops.lm_head import fused_lm_head_sample
+
+            idx = jnp.maximum(meta.extend_lens - 1, 0)
+            last = jnp.take_along_axis(
+                hidden, idx[:, None, None], axis=1
+            )[:, 0]
+            seed = jax.random.bits(key, (), "uint32").astype(jnp.int32)
+            return fused_lm_head_sample(
+                last, params["lm_head"], smeta.temperature, seed,
+                softcap=self.cfg.final_logit_softcap or 0.0,
+                stochastic=any_stoch,
+                interpret=getattr(self.attn_backend, "interpret", False),
+            )
+        logits = self.model.compute_last_logits(params, hidden, meta, self.cfg)
+        tokens = sample(
+            logits, smeta, key,
+            any_stochastic=any_stoch, any_filtered=any_filt,
+        )
+        return tokens, compute_token_logprobs(logits, tokens)
+
     def _step_packed_impl(self, params, kv, tok_slots, B: int, T: int,
                           P: int, use_slots: bool, any_stoch: bool,
                           any_filt: bool, packed):
@@ -350,12 +396,9 @@ class ModelRunner:
         hidden, kv = self.model.forward(
             params, self.cfg, meta, kv, self.attn_backend
         )
-        logits = self.model.compute_last_logits(params, hidden, meta, self.cfg)
-        tokens = sample(
-            logits, smeta, key,
-            any_stochastic=any_stoch, any_filtered=any_filt,
+        tokens, logprobs = self._logits_sample(
+            params, hidden, meta, smeta, key, any_stoch, any_filt
         )
-        logprobs = compute_token_logprobs(logits, tokens)
         tok_slots = tok_slots.at[slot_ids].set(tokens, mode="drop")
         return kv, tok_slots, self._pack_out(tokens, logprobs)
 
@@ -380,12 +423,10 @@ class ModelRunner:
             hidden, kv = self.model.forward(
                 params, self.cfg, m, kv, self.attn_backend
             )
-            logits = self.model.compute_last_logits(params, hidden, m, self.cfg)
-            tok2 = sample(
-                logits, smeta, jax.random.fold_in(key, i),
-                any_stochastic=any_stoch, any_filtered=any_filt,
+            tok2, lp = self._logits_sample(
+                params, hidden, m, smeta, jax.random.fold_in(key, i),
+                any_stoch, any_filt,
             )
-            lp = compute_token_logprobs(logits, tok2)
             return (kv, tok2, pos + 1, seq_lens + 1), (tok2, lp)
 
         init = (

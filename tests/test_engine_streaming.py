@@ -138,3 +138,91 @@ def test_memory_clean_after_serving(engine):
     while engine.scheduler.has_work and time.monotonic() < deadline:
         time.sleep(0.05)
     engine.check_memory()
+
+
+def test_stream_wake_latency_64_streams():
+    """Event-driven fan-in: consumers must wake on push, not on a poll
+    tick (round-2 VERDICT weak #6 — 20 ms/5 ms polls). 64 states, chunks
+    pushed with producer-side gaps; mean consumer wake latency must be far
+    below the old 20 ms poll period."""
+    import queue as _q
+
+    from sglang_custom_tpu.managers.schedule_batch import Req
+    from sglang_custom_tpu.managers.tokenizer_manager import ReqState
+    from sglang_custom_tpu.sampling.sampling_params import SamplingParams
+
+    states = [
+        ReqState(Req(rid=f"s{i}", input_ids=[1], sampling_params=SamplingParams()))
+        for i in range(64)
+    ]
+    push_t = {}
+
+    def producer():
+        # one chunk per state, then a finished chunk per state
+        for rnd in range(2):
+            for i, s in enumerate(states):
+                time.sleep(0.0002)
+                push_t[(rnd, i)] = time.perf_counter()
+                s.push({"i": i, "rnd": rnd, "finished": rnd == 1})
+
+    t = threading.Thread(target=producer)
+    # consume via the engine's merge-stream helper (unbound: plain function)
+    from sglang_custom_tpu.entrypoints.engine import Engine as _E
+
+    gen = _E._stream_outputs(None, states)
+    t.start()
+    lats = []
+    seen = 0
+    for chunk in gen:
+        lats.append(time.perf_counter() - push_t[(chunk["rnd"], chunk["i"])])
+        seen += 1
+    t.join()
+    assert seen == 128
+    mean_ms = sum(lats) / len(lats) * 1e3
+    assert mean_ms < 5.0, f"mean wake latency {mean_ms:.2f} ms (poll-like)"
+
+
+def test_async_stream_wake_latency():
+    import asyncio
+
+    from sglang_custom_tpu.managers.schedule_batch import Req
+    from sglang_custom_tpu.managers.tokenizer_manager import ReqState
+    from sglang_custom_tpu.sampling.sampling_params import SamplingParams
+
+    async def run():
+        states = [
+            ReqState(Req(rid=f"a{i}", input_ids=[1], sampling_params=SamplingParams()))
+            for i in range(8)
+        ]
+        loop = asyncio.get_running_loop()
+
+        class Sink:
+            def __init__(self):
+                self.q = asyncio.Queue()
+
+            def put(self, s):
+                loop.call_soon_threadsafe(self.q.put_nowait, s)
+
+        sink = Sink()
+        for s in states:
+            s.attach_sink(sink)
+
+        def producer():
+            for i, s in enumerate(states):
+                time.sleep(0.001)
+                s.push({"i": i, "finished": True})
+
+        t = threading.Thread(target=producer)
+        t.start()
+        got = 0
+        while got < len(states):
+            s = await sink.q.get()
+            try:
+                s.out_queue.get_nowait()
+                got += 1
+            except Exception:
+                pass
+        t.join()
+        return got
+
+    assert asyncio.run(run()) == 8
