@@ -70,6 +70,9 @@ class ServerArgs:
     # Parallelism (mesh axes over ICI/DCN)
     tp_size: int = 1                   # tensor axis
     dp_size: int = 1                   # data axis (replica count)
+    # dp>1 request balancing (reference: data_parallel_controller.py:249
+    # round_robin, :266 shortest_queue)
+    dp_balance_policy: str = "shortest_queue"
     ep_size: int = 1                   # expert axis for MoE
     num_hosts: int = 1
     host_rank: int = 0

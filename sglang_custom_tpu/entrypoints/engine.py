@@ -72,27 +72,34 @@ class Engine:
         )
 
         self.model_config = ModelConfig.from_model_path(server_args.model_path)
+        # dp_size > 1: independent serving replicas, built below once the
+        # tokenizer exists (managers/data_parallel_controller.py). The
+        # multihost path instead shards ONE program over the data axis.
+        self._dp_serving = server_args.dp_size > 1 and not self.is_multihost
+        self.replicas = None
+        self.dp_controller = None
         t0 = time.monotonic()
         import jax.numpy as jnp
 
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                  "float16": jnp.float16}[server_args.dtype]
-        if server_args.load_format == "dummy":
-            params = load_dummy_weights(
-                self.model_config, self.mesh_ctx, dtype=dtype,
-                quantization=server_args.quantization,
-            )
-        else:
-            params = load_weights(
-                server_args.model_path, self.model_config, self.mesh_ctx,
-                dtype=dtype, quantization=server_args.quantization,
-            )
-        logger.info("weights loaded in %.1fs", time.monotonic() - t0)
+        if not self._dp_serving:
+            if server_args.load_format == "dummy":
+                params = load_dummy_weights(
+                    self.model_config, self.mesh_ctx, dtype=dtype,
+                    quantization=server_args.quantization,
+                )
+            else:
+                params = load_weights(
+                    server_args.model_path, self.model_config, self.mesh_ctx,
+                    dtype=dtype, quantization=server_args.quantization,
+                )
+            logger.info("weights loaded in %.1fs", time.monotonic() - t0)
 
-        self.runner = ModelRunner(
-            server_args, self.model_config, params, self.mesh_ctx,
-            num_pages=num_pages,
-        )
+            self.runner = ModelRunner(
+                server_args, self.model_config, params, self.mesh_ctx,
+                num_pages=num_pages,
+            )
 
         if self.is_multihost:
             self.coordinator = MultihostCoordinator()
@@ -113,6 +120,13 @@ class Engine:
                 server_args.tokenizer_path
             )
         self.lora_manager = None
+        if self._dp_serving and (
+            server_args.enable_lora or server_args.speculative_algorithm
+        ):
+            raise NotImplementedError(
+                "dp_size > 1 with LoRA / speculative decoding is not wired "
+                "yet — run those per replica behind the router instead"
+            )
         if server_args.enable_lora:
             import jax.numpy as _jnp
 
@@ -155,14 +169,38 @@ class Engine:
             self.spec_runner = create_spec_runner(
                 self.runner, server_args, self.mesh_ctx
             )
-        self.scheduler = Scheduler(
-            server_args, self.runner, self.tokenizer,
-            spec_runner=self.spec_runner,
-        )
-        self.scheduler_thread = SchedulerThread(
-            self.scheduler, self.tokenizer,
-            stream_interval=server_args.stream_interval,
-        )
+        if self._dp_serving:
+            from sglang_custom_tpu.managers.data_parallel_controller import (
+                DataParallelController,
+                build_replicas,
+            )
+
+            self.replicas = build_replicas(
+                server_args, self.model_config, devices,
+                tokenizer=self.tokenizer, num_pages=num_pages,
+            )
+            self.dp_controller = DataParallelController(
+                self.replicas, policy=server_args.dp_balance_policy
+            )
+            self.scheduler_thread = self.dp_controller
+            # Single-replica views for replica-agnostic introspection.
+            self.runner = self.replicas[0].runner
+            self.scheduler = self.replicas[0].scheduler
+            logger.info(
+                "data-parallel serving: %d replicas x tp=%d (%s balancing) "
+                "in %.1fs",
+                server_args.dp_size, server_args.tp_size,
+                server_args.dp_balance_policy, time.monotonic() - t0,
+            )
+        else:
+            self.scheduler = Scheduler(
+                server_args, self.runner, self.tokenizer,
+                spec_runner=self.spec_runner,
+            )
+            self.scheduler_thread = SchedulerThread(
+                self.scheduler, self.tokenizer,
+                stream_interval=server_args.stream_interval,
+            )
 
         # PD disaggregation: the decode side hosts the KV rendezvous
         # listener (disaggregation/conn.py TCPKVReceiver).
@@ -758,13 +796,14 @@ class Engine:
                 )
             dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                      "float16": jnp.float16}[self.server_args.dtype]
-            params = load_weights(
-                model_path, self.model_config, self.mesh_ctx, dtype=dtype,
-                quantization=self.server_args.quantization,
-            )
-            self.runner.params = params
-            # KV computed under the old weights is stale.
-            self.scheduler.tree_cache.reset()
+            for runner, scheduler in self._replica_views():
+                params = load_weights(
+                    model_path, self.model_config, runner.mesh_ctx,
+                    dtype=dtype, quantization=self.server_args.quantization,
+                )
+                runner.params = params
+                # KV computed under the old weights is stale.
+                scheduler.tree_cache.reset()
             self.server_args.model_path = model_path
             return {"success": True, "message": "weights updated"}
         except Exception as e:  # keep serving on the old weights
@@ -807,10 +846,17 @@ class Engine:
         self._released = False
         self.scheduler_thread.resume()
 
+    def _replica_views(self):
+        """(runner, scheduler) pairs — all dp replicas, or the single one."""
+        if self.replicas:
+            return [(r.runner, r.scheduler) for r in self.replicas]
+        return [(self.runner, self.scheduler)]
+
     def flush_cache(self) -> None:
         """Drop the radix cache (reference: /flush_cache http_server.py:403)."""
-        assert not self.scheduler.has_work
-        self.scheduler.tree_cache.reset()
+        for _, scheduler in self._replica_views():
+            assert not scheduler.has_work
+            scheduler.tree_cache.reset()
 
     def get_server_info(self) -> Dict[str, Any]:
         info = self.scheduler_thread.stats()
@@ -830,7 +876,8 @@ class Engine:
         return info
 
     def check_memory(self) -> None:
-        self.scheduler.check_memory()
+        for _, scheduler in self._replica_views():
+            scheduler.check_memory()
 
     def shutdown(self) -> None:
         if getattr(self, "_is_follower_done", False):
