@@ -39,6 +39,9 @@ class ServerArgs:
     enable_hierarchical_cache: bool = False
     hicache_ratio: float = 2.0         # host tier size as multiple of device pool
     hicache_host_pages: Optional[int] = None  # absolute override
+    # 3rd tier: content-addressed file store, write-through from the host
+    # tier (reference: mem_cache/hicache_storage.py). None disables.
+    hicache_storage_dir: Optional[str] = None
 
     # Scheduling
     schedule_policy: str = "lpm"       # lpm | fcfs | lof | random

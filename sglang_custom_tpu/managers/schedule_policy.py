@@ -25,10 +25,10 @@ class SchedulePolicy:
         if self.policy == "fcfs":
             waiting_queue.sort(key=lambda r: r.arrival_time)
         elif self.policy == "lpm":
-            # Dry-run prefix match for sorting only (no locks taken).
+            # Pure prefix-length probe for sorting only — match_prefix
+            # would split nodes and (hierarchical cache) promote tiers.
             for r in waiting_queue:
-                m = self.tree_cache.match_prefix(r.fill_ids)
-                r.cached_tokens = m.matched_len
+                r.cached_tokens = self.tree_cache.match_len(r.fill_ids)
             waiting_queue.sort(
                 key=lambda r: (-r.cached_tokens, r.arrival_time)
             )

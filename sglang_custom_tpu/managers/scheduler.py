@@ -63,6 +63,7 @@ class Scheduler:
                 self.allocator.alloc,
                 model_runner.kv_pool,
                 host_pages,
+                storage_dir=server_args.hicache_storage_dir,
             )
         else:
             self.tree_cache = RadixCache(self.page_size, self.allocator.free)
@@ -101,6 +102,12 @@ class Scheduler:
             req.finish_reason = FinishReason.LENGTH
             logger.warning("req %s prompt longer than context; aborted", req.rid)
             return
+        # Hierarchical cache: start storage->host promotion of this prompt's
+        # prefix on the IO worker now, so admission-time match_prefix finds
+        # DRAM-ready data (mem_cache/hiradix_cache.py prefetch).
+        prefetch = getattr(self.tree_cache, "prefetch", None)
+        if prefetch is not None:
+            prefetch(req.input_ids)
         self.waiting_queue.append(req)
 
     def abort_request(self, rid: str) -> bool:

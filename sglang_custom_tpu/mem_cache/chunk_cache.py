@@ -36,6 +36,9 @@ class ChunkCache:
     def match_prefix(self, tokens) -> MatchResult:
         return MatchResult(pages=[], matched_len=0, last_node=self.root)
 
+    def match_len(self, tokens) -> int:
+        return 0
+
     def cache_finished_req(self, tokens, pages, cached_len, last_node) -> None:
         assert cached_len == 0
         self.free_fn(pages)

@@ -150,6 +150,30 @@ class RadixCache:
         node.last_access_time = time.monotonic()
         return MatchResult(pages=pages, matched_len=pos, last_node=node)
 
+    def match_len(self, tokens: List[int]) -> int:
+        """PURE longest-prefix length: no splits, no residency changes.
+
+        For sorting/routing probes (SchedulePolicy LPM, dp balancing) —
+        match_prefix mutates the tree (node splits; tier promotion in
+        HiRadixCache), which must only happen at admission."""
+        node = self.root
+        pos = 0
+        ps = self.page_size
+        limit = (len(tokens) // ps) * ps
+        while pos < limit:
+            child = node.children.get(self._chunk(tokens, pos))
+            if child is None:
+                break
+            for i in range(len(child.key) // ps):
+                lo = pos + i * ps
+                if lo + ps > limit or tuple(
+                    child.key[i * ps : (i + 1) * ps]
+                ) != tuple(tokens[lo : lo + ps]):
+                    return pos + i * ps
+            pos += len(child.key)
+            node = child
+        return pos
+
     def insert(
         self, tokens: List[int], pages: List[int]
     ) -> Tuple[int, List[int], TreeNode]:
