@@ -61,7 +61,7 @@ class PallasAttentionBackend(AttentionBackend):
     ):
         B, T, Hq, D = q.shape
         h = P(None, TENSOR_AXIS)  # head-dim sharding fragment
-        if T == 1:
+        if T == 1 and meta.tree_mask is None:
             kv_new = jnp.concatenate(
                 [k_new[:, 0], v_new[:, 0]], axis=-1
             )  # [B, Hkv, 2D] folded
@@ -100,28 +100,33 @@ class PallasAttentionBackend(AttentionBackend):
 
         kv_pool = write_kv_pages(k_new, v_new, kv_pool, layer, meta)
 
-        def call_extend(q0, pool, layer, pt, sl, el, win):
+        tree = meta.tree_mask is not None
+
+        def call_extend(q0, pool, layer, pt, sl, el, win, *tree_args):
+            tm, ts = tree_args if tree else (None, None)
             return paged_attention_extend(
                 q0, pool, layer, pt, sl, el,
-                scale=scale, window=win, softcap=softcap,
-                interpret=self.interpret,
+                scale=scale, window=None if tree else win, softcap=softcap,
+                interpret=self.interpret, tree_mask=tm, tree_start=ts,
             )
 
         win = jnp.asarray((1 << 30) if window is None else window, jnp.int32)
+        extra = (meta.tree_mask, meta.tree_start) if tree else ()
         if self.mesh is not None:
+            tree_specs = (P(None, None), P(None)) if tree else ()
             call = self._shard_map(
                 call_extend,
                 in_specs=(
                     P(None, None, TENSOR_AXIS, None),  # q [B, T, Hq, D]
                     P(None, TENSOR_AXIS, None, None, None),
                     P(), P(None, None), P(None), P(None), P(),
-                ),
+                ) + tree_specs,
                 out_specs=P(None, None, TENSOR_AXIS, None),
             )
         else:
             call = call_extend
         out = call(
             q, kv_pool, jnp.asarray(layer, jnp.int32),
-            meta.page_table, meta.seq_lens, meta.extend_lens, win,
+            meta.page_table, meta.seq_lens, meta.extend_lens, win, *extra,
         )
         return out, kv_pool

@@ -349,15 +349,13 @@ def _extend_kernel(
     extend_lens_ref,  # [B] int32
     window_ref,       # [1] int32 — sliding window (FULL_WINDOW = none)
     layer_ref,        # [1] int32 — which pool layer
+    tree_start_ref,   # [B] int32 — node-region base (tree mode only)
     # inputs
     q_ref,            # [1, Hkv, TB, G, D or 2D] block (VMEM), head-major
     kv_ref,           # [L, Hkv, P, ps, 2D] (HBM, full pool)
-    # outputs
-    o_ref,            # [1, Hkv, TB, G, D or 2D] block (VMEM)
-    # scratch
-    kv_scratch,       # [2, Hkv, KB*ps, 2D]
-    sems,             # [2, KB]
-    *,
+    # tree mode inserts here: tree_ref [TB, Np] f32 ancestor-matrix block
+    # outputs / scratch (parsed from *rest below)
+    *rest,            # (o_ref, kv_scratch [2,Hkv,KB*ps,2D], sems [2,KB])
     scale: float,
     pmax: int,
     kb: int,
@@ -365,11 +363,16 @@ def _extend_kernel(
     head_dim: int,
     fold: bool,
     softcap: float,
+    tree: bool,
 ):
     # Grid = (B, num_blocks). q/out are pre-arranged [B, Hkv, T, G, D] so a
     # grid cell owns whole (sublane, lane) tiles — Mosaic disallows
     # dynamically-offset sub-tile stores, so head grouping happens in the
     # BlockSpec layout, not in the kernel.
+    if tree:
+        tree_ref, o_ref, kv_scratch, sems = rest
+    else:
+        (o_ref, kv_scratch, sems), tree_ref = rest, None
     b = pl.program_id(0)
     tb = pl.program_id(1)
     ps = kv_scratch.shape[2] // kb
@@ -432,7 +435,35 @@ def _extend_kernel(
                 d.wait()
             strip = kv_scratch[slot].astype(jnp.float32)  # [Hkv, S, 2D]
             kv_pos = i * S + jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
-            mask = (kv_pos <= q_pos) & (kv_pos < seq_len) & (kv_pos > q_pos - w)
+            if tree:
+                # Speculative-tree step: prefix kv (< tree_start) fully
+                # attended; inside the node region the ancestor matrix
+                # decides. The strip-aligned visibility is ONE small
+                # matmul — vis[rows, Np] @ onehot[Np, S] where
+                # onehot[j, s] = (strip col s holds node j) — instead of a
+                # per-column gather Mosaic can't vectorize (reference:
+                # TARGET_VERIFY custom mask, eagle_utils.cu).
+                ts = tree_start_ref[b]
+                Np = tree_ref.shape[1]
+                vis = tree_ref[...]  # [TB, Np] f32 0/1
+                vis_rows = jnp.broadcast_to(
+                    vis[:, None, :], (TB, G, Np)
+                ).reshape(TB * G, Np)
+                col = jax.lax.broadcasted_iota(jnp.int32, (Np, S), 1)
+                jidx = jax.lax.broadcasted_iota(jnp.int32, (Np, S), 0)
+                onehot = (col - (ts - i * S) == jidx).astype(jnp.float32)
+                treevis = jax.lax.dot(
+                    vis_rows, onehot, preferred_element_type=jnp.float32
+                )  # [TB*G, S]
+                mask = ((kv_pos < ts) | (treevis[None] > 0.5)) & (
+                    kv_pos < seq_len
+                )
+            else:
+                mask = (
+                    (kv_pos <= q_pos)
+                    & (kv_pos < seq_len)
+                    & (kv_pos > q_pos - w)
+                )
             return _attn_strip(
                 q, strip, scale=scale, valid_mask=mask,
                 m=m, l=l, acc=acc, fold=fold, D=D, softcap=softcap,
@@ -495,13 +526,20 @@ def paged_attention_extend(
     softcap: float = 0.0,
     q_block: int = 128,
     interpret: bool = False,
+    tree_mask=None,          # [T, N] bool ancestor matrix (spec verify)
+    tree_start=None,         # [B] int32 node-region base
 ) -> jax.Array:
     """Ragged chunked-prefill attention over paged KV. Returns [B, T, Hq, D].
 
     Causal within the extend; full attention over the cached prefix —
     the fused equivalent of the reference's extend_attention + prefix-cache
     merge path (triton_ops/extend_attention.py, merge_state). New KV must
-    already be scattered into the pool (write_kv_pages)."""
+    already be scattered into the pool (write_kv_pages).
+
+    With ``tree_mask``/``tree_start``: speculative-tree attention — q token
+    t attends kv < tree_start plus node-region offsets j with
+    tree_mask[t, j] (replaces the causal rule; reference: eagle_utils.cu
+    tree masks). This is the production path for EAGLE draft/verify."""
     B, T, Hq, D = q.shape
     L, num_kv_heads, P, ps = kv_pool.shape[:4]
     G = Hq // num_kv_heads
@@ -527,19 +565,39 @@ def paged_attention_extend(
         else jnp.asarray(window, jnp.int32).reshape(1)
     )
     layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    tree = tree_mask is not None
+    if tree:
+        ts_arr = jnp.asarray(tree_start, jnp.int32).reshape(B)
+        N = tree_mask.shape[1]
+        Np = -(-N // 128) * 128
+        tm = jnp.pad(
+            tree_mask.astype(jnp.float32),
+            ((0, Tp - tree_mask.shape[0]), (0, Np - N)),
+        )  # [Tp, Np]
+    else:
+        ts_arr = jnp.zeros((qh.shape[0],), jnp.int32)
     kernel = functools.partial(
         _extend_kernel, scale=scale, pmax=pmax, kb=kb,
         num_kv_heads=num_kv_heads, head_dim=D, fold=fold, softcap=softcap,
+        tree=tree,
     )
+    in_specs = [
+        pl.BlockSpec(
+            (1, num_kv_heads, TB, G, Dq), lambda b, tb, *_: (b, 0, tb, 0, 0)
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [
+        page_table.reshape(-1), seq_lens, extend_lens, window_arr, layer_arr,
+        ts_arr, qh, kvf,
+    ]
+    if tree:
+        in_specs.append(pl.BlockSpec((TB, tm.shape[1]), lambda b, tb, *_: (tb, 0)))
+        args.append(tm)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(B, num_blocks),
-        in_specs=[
-            pl.BlockSpec(
-                (1, num_kv_heads, TB, G, Dq), lambda b, tb, *_: (b, 0, tb, 0, 0)
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, num_kv_heads, TB, G, Dq), lambda b, tb, *_: (b, 0, tb, 0, 0)
         ),
@@ -553,10 +611,7 @@ def paged_attention_extend(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
         interpret=interpret,
-    )(
-        page_table.reshape(-1), seq_lens, extend_lens, window_arr, layer_arr,
-        qh, kvf,
-    )
+    )(*args)
     if fold:
         out = out[..., D:]  # V half of the folded accumulator
     return out.transpose(0, 2, 1, 3, 4).reshape(B, Tp, Hq, D)[:, :T]

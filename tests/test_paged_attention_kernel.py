@@ -274,3 +274,62 @@ def test_extend_kernel_sliding_window(window):
             np.asarray(out)[b, :e], np.asarray(ref)[b, :e],
             rtol=2e-5, atol=2e-5, err_msg=f"row {b} window={window}",
         )
+
+
+def test_extend_kernel_tree_mask():
+    """Speculative-tree masking vs a dense reference: q token t attends
+    the full prefix (< tree_start) plus node-region offsets j with
+    tree_mask[t, j] (reference: eagle_utils.cu TARGET_VERIFY mask)."""
+    rng = np.random.RandomState(7)
+    B, Hq, Hkv, D, ps, pmax, T = 2, 8, 4, 64, 8, 8, 8
+    P = B * pmax + 1
+    kv = jnp.asarray(rng.randn(N_LAYERS, Hkv, P, ps, 2 * D).astype(np.float32))
+    page_table = np.zeros((B, pmax), np.int32)
+    for b in range(B):
+        page_table[b] = np.arange(1 + b * pmax, 1 + (b + 1) * pmax)
+    page_table = jnp.asarray(page_table)
+    prefix = jnp.asarray([13, 29], jnp.int32)   # per-row tree_start
+    seq_lens = prefix + T
+    extend_lens = jnp.full((B,), T, jnp.int32)
+    q = jnp.asarray(rng.randn(B, T, Hq, D).astype(np.float32))
+    scale = 1.0 / np.sqrt(D)
+    # binary tree ancestors: node 0 root; node j's parent (j-1)//2
+    mask = np.zeros((T, T), bool)
+    for t in range(T):
+        j = t
+        while True:
+            mask[t, j] = True
+            if j == 0:
+                break
+            j = (j - 1) // 2
+    tree_mask = jnp.asarray(mask)
+
+    out = paged_attention_extend(
+        q, kv, jnp.asarray(LAYER, jnp.int32), page_table, seq_lens,
+        extend_lens, scale=scale, q_block=8, interpret=True,
+        tree_mask=tree_mask, tree_start=prefix,
+    )
+
+    # dense reference
+    kvl = kv[LAYER]
+    G = Hq // Hkv
+    S = pmax * ps
+    gathered = kvl[:, page_table]
+    k = gathered[..., :D].reshape(Hkv, B, S, D)
+    v = gathered[..., D:].reshape(Hkv, B, S, D)
+    qg = q.reshape(B, T, Hkv, G, D)
+    s = jnp.einsum("btkgd,kbsd->bktgs", qg, k) * scale
+    kv_pos = np.arange(S)[None, None, None, None, :]
+    ts = np.asarray(prefix)[:, None, None, None, None]
+    rel = np.clip(kv_pos - ts, 0, T - 1)
+    tm = np.moveaxis(mask[:, rel[:, 0, 0, 0, :]], 0, 1)  # [B, T, S]
+    in_region = (kv_pos >= ts) & (kv_pos < ts + T)
+    full = np.where(in_region, tm[:, None, :, None, :], kv_pos < ts)
+    full = full & (kv_pos < np.asarray(seq_lens)[:, None, None, None, None])
+    s = jnp.where(jnp.asarray(full), s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bktgs,kbsd->btkgd", p, v).reshape(B, T, Hq, D)
+
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )

@@ -280,3 +280,43 @@ class TestTreeSpec:
         assert len(o["output_ids"]) == 16
         eng.scheduler.check_memory()
         eng.shutdown()
+
+
+class TestPallasTreeBackend:
+    """The spec tree path through the PALLAS extend kernel (interpret mode
+    on CPU) — the production TPU configuration (round-3 VERDICT #2: no
+    more XLA fallback for tree masks)."""
+
+    def test_tree_spec_pallas_matches_baseline(self, tmp_path):
+        # head_dim 64 so the Pallas kernels support the geometry
+        target = _write_cfg(
+            str(tmp_path / "t64"), hidden_size=128,
+            num_attention_heads=2, num_key_value_heads=2,
+            num_hidden_layers=2,
+        )
+        eagle = _write_cfg(
+            str(tmp_path / "e64"), hidden_size=128,
+            num_attention_heads=2, num_key_value_heads=2,
+            num_hidden_layers=1,
+        )
+        base = _make_engine(target, attention_backend="pallas")
+        expected = _greedy_outputs(base)
+        base.shutdown()
+
+        eng = _make_engine(
+            target, spec_algo="eagle", draft=eagle,
+            attention_backend="pallas",
+            speculative_eagle_topk=2, speculative_num_steps=2,
+            speculative_num_draft_tokens=4,
+        )
+        from sglang_custom_tpu.layers.attention.pallas_backend import (
+            PallasAttentionBackend,
+        )
+
+        assert isinstance(
+            eng.spec_runner.verify_backend, PallasAttentionBackend
+        )
+        got = _greedy_outputs(eng)
+        assert got == expected
+        eng.scheduler.check_memory()
+        eng.shutdown()
