@@ -1,0 +1,109 @@
+"""Multihost scaling proxy on CPU: 2-process mirrored serving vs the same
+mesh in one process.
+
+Real multi-host TPU hardware is not reachable from this environment, so
+this measures what IS measurable: the cost of the lock-step mirror
+protocol (parallel/multihost.py). Both runs execute the SAME tp=4 GSPMD
+program over 4 virtual CPU devices; the 2-process run adds the per-step
+coordinator frame broadcast + a second process participating in every
+collective. Efficiency = tok/s(2 proc) / tok/s(1 proc); the gap bounds
+the mirror overhead (BASELINE gate context: >=85% 1->N-host scaling).
+
+Writes MULTIHOST_SCALING.json at the repo root.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%(devs)d"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from sglang_custom_tpu.config.server_args import ServerArgs
+from sglang_custom_tpu.entrypoints.engine import Engine
+
+rank, nprocs = int(sys.argv[1]), int(sys.argv[2])
+args = ServerArgs(
+    model_path=%(ckpt)r, dtype="float32", device="cpu", page_size=16,
+    skip_tokenizer_init=True, context_length=512, tp_size=4,
+    load_format="dummy",
+    num_hosts=nprocs, host_rank=rank,
+    dist_init_addr="127.0.0.1:%(port)d" if nprocs > 1 else None,
+)
+eng = Engine(server_args=args, num_pages=256)
+if getattr(eng, "_is_follower_done", False):
+    sys.exit(0)
+B, NEW = 8, 64
+prompts = [[(7*i + s) %% 400 + 2 for i in range(32)] for s in range(B)]
+sp = [{"max_new_tokens": NEW, "temperature": 0.0, "ignore_eos": True}] * B
+eng.generate(input_ids=prompts, sampling_params=list(sp))  # warm/compile
+eng.flush_cache()
+t0 = time.perf_counter()
+outs = eng.generate(input_ids=prompts, sampling_params=list(sp))
+dt = time.perf_counter() - t0
+print("RESULT", json.dumps({"tok_per_s": B*NEW/dt, "wall_s": dt}), flush=True)
+eng.shutdown()
+"""
+
+
+def run(nprocs: int, ckpt: str, port: int) -> dict:
+    code = WORKER % {"repo": REPO, "ckpt": ckpt, "port": port,
+                     "devs": 4 // nprocs}
+    procs = []
+    for rank in range(nprocs):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code, str(rank), str(nprocs)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    out0, _ = procs[0].communicate(timeout=600)
+    for p in procs[1:]:
+        p.communicate(timeout=60)
+    for line in out0.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT from rank 0:\n{out0[-3000:]}")
+
+
+def main():
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    ckpt = tempfile.mkdtemp()
+    cfg = LlamaConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=512, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    LlamaForCausalLM(cfg).to(torch.float32).save_pretrained(
+        ckpt, safe_serialization=True
+    )
+    one = run(1, ckpt, 0)
+    two = run(2, ckpt, 23457)
+    eff = two["tok_per_s"] / one["tok_per_s"]
+    result = {
+        "metric": "multihost_mirror_scaling_proxy_cpu_tp4",
+        "tok_per_s_1proc": round(one["tok_per_s"], 1),
+        "tok_per_s_2proc": round(two["tok_per_s"], 1),
+        "efficiency": round(eff, 3),
+        "note": "same tp=4 GSPMD program; 2-proc adds the per-step "
+                "mirror frame broadcast + cross-process collectives",
+    }
+    print(json.dumps(result))
+    with open(os.path.join(REPO, "MULTIHOST_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,7 +102,9 @@ class Engine:
             )
 
         if self.is_multihost:
-            self.coordinator = MultihostCoordinator()
+            self.coordinator = MultihostCoordinator(
+                self.runner.max_hot_frame_words()
+            )
             self.runner.coordinator = self.coordinator
             if not self.coordinator.is_driver:
                 # Non-zero hosts never run frontend/scheduler: they mirror

@@ -287,7 +287,7 @@ class ModelRunner:
             if batch.slot_ids is not None
             else np.zeros((batch.batch_size,), np.int32)
         )
-        ints = np.concatenate([
+        return np.concatenate([
             pad(batch.token_ids, (Bp, Tp)).ravel(),
             pad(batch.positions, (Bp, Tp)).ravel(),
             pad(batch.page_table, (Bp, Pp)).ravel(),
@@ -298,7 +298,6 @@ class ModelRunner:
             f32,
             np.asarray([self._step_counter], np.int32),
         ])
-        return jnp.asarray(ints)
 
     def _unpack_meta(self, packed, B, T, P, tok_slots=None, use_slots=False):
         o = 0
@@ -616,20 +615,50 @@ class ModelRunner:
         the overlap scheduler's device half (reference:
         tp_worker_overlap_thread.py:137 forward_thread_func_)."""
         assert self.is_hot_batch(batch)
-        self._mirror("hot", batch)
         B = batch.batch_size
         Bp, Tp, Pp = self._buckets(batch)
         self._step_counter += 1
-        packed = self._pack_meta(batch, Bp, Tp, Pp, self._pad)
+        packed_np = self._pack_meta(batch, Bp, Tp, Pp, self._pad)
         use_slots = bool(batch.use_slots) and not batch.is_extend
         any_stoch, any_filt = self._sampling_flags(batch)
-        if batch.burst > 1 and not batch.is_extend:
+        burst = batch.burst if (batch.burst > 1 and not batch.is_extend) else 1
+        if self.coordinator is not None and self.coordinator.is_driver:
+            header = np.asarray(
+                [Bp, Tp, Pp, burst, int(use_slots), int(any_stoch),
+                 int(any_filt)], np.int32,
+            )
+            if len(packed_np) + 16 <= self.coordinator.frame_words:
+                # hot decode: ONE fixed-size collective mirrors the step
+                self.coordinator.broadcast_hot(header, packed_np)
+            else:  # oversized (large prefill): pickle fallback
+                from sglang_custom_tpu.parallel.multihost import (
+                    batch_to_wire,
+                )
+
+                self.coordinator.broadcast(
+                    {"op": "hot", "batch": batch_to_wire(batch)}
+                )
+        out, shape = self._dispatch_hot(
+            jnp.asarray(packed_np), Bp, Tp, Pp, burst, use_slots,
+            any_stoch, any_filt,
+        )
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass
+        return (out, shape, B)
+
+    def _dispatch_hot(self, packed, Bp, Tp, Pp, burst, use_slots,
+                      any_stoch, any_filt):
+        """Enqueue one hot executable; shared by the driver path and the
+        multihost follower frame path (both sides must enter the SAME
+        jitted program for GSPMD collectives to line up)."""
+        if burst > 1:
             kv, slots, out = self._burst_packed(
                 self.params, self.kv_pool.kv, self.tok_slots,
-                Bp, Tp, Pp, batch.burst, use_slots, any_stoch, any_filt,
-                packed,
+                Bp, Tp, Pp, burst, use_slots, any_stoch, any_filt, packed,
             )
-            shape = (Bp, batch.burst)
+            shape = (Bp, burst)
         else:
             kv, slots, out = self._step_packed(
                 self.params, self.kv_pool.kv, self.tok_slots,
@@ -638,11 +667,26 @@ class ModelRunner:
             shape = (Bp,)
         self.kv_pool.kv = kv
         self.tok_slots = slots
-        try:
-            out.copy_to_host_async()
-        except Exception:
-            pass
-        return (out, shape, B)
+        return out, shape
+
+    def max_hot_frame_words(self) -> int:
+        """Size of the fixed multihost hot frame (parallel/multihost.py):
+        header + the largest DECODE packed-meta vector. Derived only from
+        ServerArgs + model geometry so every host computes the same value."""
+        bmax = pow2_bucket(self.server_args.max_running_requests)
+        pmax = pow2_bucket(self.max_pages_per_req)
+        return 16 + bmax * (9 + pmax) + 1
+
+    def forward_hot_from_frame(self, header, packed) -> None:
+        """Multihost follower: execute a hot step mirrored as a frame."""
+        Bp, Tp, Pp, burst, use_slots, any_stoch, any_filt = (
+            int(x) for x in header[:7]
+        )
+        self._step_counter += 1
+        self._dispatch_hot(
+            jnp.asarray(np.ascontiguousarray(packed)), Bp, Tp, Pp, burst,
+            bool(use_slots), bool(any_stoch), bool(any_filt),
+        )
 
     def collect_hot(self, handle):
         """Block on a dispatched hot step's packed output and split it."""
