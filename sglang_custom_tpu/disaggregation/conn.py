@@ -106,9 +106,16 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
 
 
 class TCPKVReceiver:
-    """Decode-side KV server: accepts pushed payloads keyed by room
+    """Decode-side KV server: accepts CHUNKED payload streams keyed by room
     (the bootstrap-server + receiver roles of conn.py:96,128 folded into
-    one listener — the decode side is the natural rendezvous point)."""
+    one listener — the decode side is the natural rendezvous point).
+
+    Protocol per connection (round-3 hardening — reference:
+    disaggregation/base/conn.py KVPoll lifecycle + mooncake's chunked
+    transfer engine): ``("hello", room, header)`` -> ack -> N x
+    ``("chunk", idx, bytes)`` -> ``("end",)`` -> ack. Chunks land while
+    the decode scheduler keeps serving; ``poll(room)`` exposes
+    BOOTSTRAPPING/TRANSFERRING/SUCCESS/FAILED."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -117,6 +124,8 @@ class TCPKVReceiver:
         self._sock.listen(64)
         self.host, self.port = self._sock.getsockname()
         self._store: Dict[str, KVPayload] = {}
+        self._status: Dict[str, KVPoll] = {}
+        self._progress: Dict[str, tuple] = {}  # room -> (got, total)
         self._cv = threading.Condition()
         self._running = True
         self._thread = threading.Thread(target=self._serve, daemon=True)
@@ -133,28 +142,81 @@ class TCPKVReceiver:
             ).start()
 
     def _handle(self, conn: socket.socket) -> None:
+        room = None
         try:
             with conn:
-                room, payload = _recv_msg(conn)
+                msg = _recv_msg(conn)
+                kind = msg[0]
+                if kind == "legacy":  # single-shot (fake/testing path)
+                    _, room, payload = msg
+                    with self._cv:
+                        self._store[room] = payload
+                        self._status[room] = KVPoll.SUCCESS
+                        self._cv.notify_all()
+                    _send_msg(conn, "ok")
+                    return
+                assert kind == "hello", kind
+                _, room, header = msg
+                with self._cv:
+                    self._status[room] = KVPoll.TRANSFERRING
+                    self._progress[room] = (0, header["n_chunks"])
+                _send_msg(conn, "ok")  # bootstrap ack
+                shape, dtype = header["kv_shape"], header["kv_dtype"]
+                kv = np.zeros(shape, dtype)
+                chunk_pages = header["chunk_pages"]
+                for i in range(header["n_chunks"]):
+                    m = _recv_msg(conn)
+                    assert m[0] == "chunk" and m[1] == i, m[:2]
+                    lo = i * chunk_pages
+                    arr = np.frombuffer(m[2], dtype).reshape(
+                        (-1,) + tuple(shape[1:])
+                    )
+                    kv[lo : lo + arr.shape[0]] = arr
+                    with self._cv:
+                        self._progress[room] = (i + 1, header["n_chunks"])
+                assert _recv_msg(conn)[0] == "end"
+                payload = KVPayload(
+                    input_ids=header["input_ids"],
+                    first_token=header["first_token"],
+                    kv_pages=kv,
+                    page_size=header["page_size"],
+                    sampling_params=header["sampling_params"],
+                    rid=header.get("rid"),
+                )
                 with self._cv:
                     self._store[room] = payload
+                    self._status[room] = KVPoll.SUCCESS
                     self._cv.notify_all()
                 _send_msg(conn, "ok")
         except Exception as e:  # a dropped sender must not kill the server
             logger.warning("KV receive failed: %s", e)
+            if room is not None:
+                with self._cv:
+                    self._status[room] = KVPoll.FAILED
+                    self._cv.notify_all()
 
     def recv(self, room: str, timeout: float = 30.0) -> KVPayload:
         with self._cv:
-            ok = self._cv.wait_for(lambda: room in self._store, timeout)
+            ok = self._cv.wait_for(
+                lambda: room in self._store
+                or self._status.get(room) == KVPoll.FAILED,
+                timeout,
+            )
             if not ok:
                 raise TimeoutError(f"KV transfer for room {room} timed out")
+            if room not in self._store:
+                raise ConnectionError(f"KV transfer for room {room} failed")
+            self._status.pop(room, None)
+            self._progress.pop(room, None)
             return self._store.pop(room)
 
     def poll(self, room: str) -> KVPoll:
         with self._cv:
-            return (
-                KVPoll.SUCCESS if room in self._store else KVPoll.TRANSFERRING
-            )
+            return self._status.get(room, KVPoll.BOOTSTRAPPING)
+
+    def progress(self, room: str) -> tuple:
+        with self._cv:
+            return self._progress.get(room, (0, 0))
 
     def close(self) -> None:
         self._running = False
@@ -165,12 +227,56 @@ class TCPKVReceiver:
 
 
 class TCPKVSender:
-    """Prefill-side pusher (reference: KVSender conn.py:55)."""
+    """Prefill-side chunked pusher (reference: KVSender conn.py:55 +
+    KVPoll states). ``send`` streams CHUNK_PAGES-page chunks so the
+    receive side observes progress and neither side ever materializes the
+    transfer twice; ``poll`` exposes the sender-side lifecycle."""
+
+    CHUNK_PAGES = 8
 
     def __init__(self, host: str, port: int):
         self.host, self.port = host, port
+        self._status: Dict[str, KVPoll] = {}
+        self._lock = threading.Lock()
+
+    def poll(self, room: str) -> KVPoll:
+        with self._lock:
+            return self._status.get(room, KVPoll.WAITING_FOR_INPUT)
+
+    def _set(self, room: str, st: KVPoll) -> None:
+        with self._lock:
+            self._status[room] = st
 
     def send(self, room: str, payload: KVPayload) -> None:
-        with socket.create_connection((self.host, self.port), timeout=30) as s:
-            _send_msg(s, (room, payload))
-            assert _recv_msg(s) == "ok"
+        kv = np.ascontiguousarray(payload.kv_pages)
+        n = kv.shape[0]
+        cp = self.CHUNK_PAGES
+        n_chunks = -(-n // cp) if n else 0
+        header = {
+            "input_ids": payload.input_ids,
+            "first_token": payload.first_token,
+            "page_size": payload.page_size,
+            "sampling_params": payload.sampling_params,
+            "rid": payload.rid,
+            "kv_shape": kv.shape,
+            "kv_dtype": kv.dtype.str,
+            "n_chunks": n_chunks,
+            "chunk_pages": cp,
+        }
+        self._set(room, KVPoll.BOOTSTRAPPING)
+        try:
+            with socket.create_connection(
+                (self.host, self.port), timeout=30
+            ) as s:
+                _send_msg(s, ("hello", room, header))
+                assert _recv_msg(s) == "ok"
+                self._set(room, KVPoll.TRANSFERRING)
+                for i in range(n_chunks):
+                    chunk = kv[i * cp : (i + 1) * cp]
+                    _send_msg(s, ("chunk", i, chunk.tobytes()))
+                _send_msg(s, ("end",))
+                assert _recv_msg(s) == "ok"
+            self._set(room, KVPoll.SUCCESS)
+        except Exception:
+            self._set(room, KVPoll.FAILED)
+            raise

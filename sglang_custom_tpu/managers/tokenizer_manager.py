@@ -87,6 +87,10 @@ class SchedulerThread:
         self.intake: "queue.Queue[ReqState]" = queue.Queue()
         self._states: Dict[str, ReqState] = {}
         self._abort_rids: "queue.Queue[str]" = queue.Queue()
+        # Thread-safe deferred calls executed ON the scheduler thread at
+        # the next loop iteration (tree/allocator state is single-owner;
+        # e.g. PD transfer workers unlock radix paths through here).
+        self._calls: "queue.Queue" = queue.Queue()
         self._shutdown = threading.Event()
         self._running = threading.Event()
         self._running.set()
@@ -106,6 +110,10 @@ class SchedulerThread:
 
     def abort(self, rid: str) -> None:
         self._abort_rids.put(rid)
+
+    def post(self, fn) -> None:
+        """Run ``fn()`` on the scheduler thread at the next iteration."""
+        self._calls.put(fn)
 
     def pause(self, drain: bool = True, timeout: float = 120.0) -> None:
         """Stop launching device steps (reference: scheduler.py:2459
@@ -152,6 +160,7 @@ class SchedulerThread:
                 continue
             self._drain_intake(block=not self.scheduler.has_work)
             self._drain_aborts()
+            self._drain_calls()
             if not self.scheduler.has_work:
                 continue
             try:
@@ -185,6 +194,17 @@ class SchedulerThread:
                 state = self.intake.get_nowait()
             except queue.Empty:
                 return
+
+    def _drain_calls(self) -> None:
+        while True:
+            try:
+                fn = self._calls.get_nowait()
+            except queue.Empty:
+                return
+            try:
+                fn()
+            except Exception:
+                logger.exception("posted scheduler call failed")
 
     def _drain_aborts(self) -> None:
         while True:
