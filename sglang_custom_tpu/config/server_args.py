@@ -43,6 +43,18 @@ class ServerArgs:
     # tier (reference: mem_cache/hicache_storage.py). None disables.
     hicache_storage_dir: Optional[str] = None
 
+    # Robustness (reference: --watchdog-timeout server_args.py:97,
+    # scheduler watchdog :2186; crash dump tokenizer_manager.py:1284;
+    # NaN detection sampler.py:63)
+    watchdog_timeout: float = 300.0    # s of a stuck scheduler step; 0 off
+    watchdog_abort: bool = False       # kill the process on watchdog fire
+    crash_dump_folder: Optional[str] = None  # last-requests dump on failure
+    enable_nan_detection: bool = False # check fetched logprobs for NaN
+    # KV event stream for external cache observers (reference:
+    # disaggregation/kv_events.py ZmqEventPublisher; drained via
+    # Engine.get_kv_events / GET /get_kv_events)
+    enable_kv_events: bool = False
+
     # Scheduling
     schedule_policy: str = "lpm"       # lpm | fcfs | lof | random
     attention_backend: str = "auto"    # auto | pallas | xla

@@ -929,6 +929,17 @@ class Engine:
         for _, scheduler in self._replica_views():
             scheduler.check_memory()
 
+    def get_kv_events(self) -> List[Dict[str, Any]]:
+        """Drain the KV cache event stream (reference:
+        disaggregation/kv_events.py ZmqEventPublisher + scheduler hook
+        scheduler.py:2862). Requires --enable-kv-events."""
+        events: List[Dict[str, Any]] = []
+        for _, scheduler in self._replica_views():
+            take = getattr(scheduler.tree_cache, "take_events", None)
+            if take is not None:
+                events.extend(take())
+        return events
+
     def shutdown(self) -> None:
         if getattr(self, "_is_follower_done", False):
             return

@@ -67,6 +67,8 @@ class Scheduler:
             )
         else:
             self.tree_cache = RadixCache(self.page_size, self.allocator.free)
+        if getattr(server_args, "enable_kv_events", False):
+            self.tree_cache.enable_events = True
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
 
         self.waiting_queue: List[Req] = []
@@ -554,7 +556,22 @@ class Scheduler:
             tokens = tokens[:, None]
             logprobs = logprobs[:, None]
         K = tokens.shape[1]
-        updated: List[Req] = []
+        nan_aborted: List[Req] = []
+        if self.server_args.enable_nan_detection and np.isnan(
+            logprobs[: len(batch.reqs)]
+        ).any():
+            # A poisoned step (bad weights / numerics) — abort the affected
+            # rows loudly instead of streaming garbage (reference:
+            # sampler.py:63 enable_nan_detection). Aborted rows must still
+            # reach the consumer (their final chunk), so they are returned
+            # as updated.
+            bad = np.isnan(logprobs[: len(batch.reqs)]).any(axis=-1)
+            for i, r in enumerate(batch.reqs):
+                if r is not None and bad[i] and not r.finished:
+                    logger.error("NaN logprob for req %s; aborting", r.rid)
+                    if self.abort_request(r.rid):
+                        nan_aborted.append(r)
+        updated: List[Req] = nan_aborted
         for i, r in enumerate(batch.reqs):
             if batch.gens is not None and r.gen != batch.gens[i]:
                 # Stale overlap row: the request finished / was retracted /

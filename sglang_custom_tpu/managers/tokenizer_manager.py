@@ -96,8 +96,24 @@ class SchedulerThread:
         self._running.set()
         self._idle = threading.Event()
         self._idle.set()
+        # Watchdog heartbeat: stamped before every scheduler step; a
+        # separate thread flags (and optionally kills) a wedged device step
+        # (reference: scheduler.py:2186 watchdog thread).
+        self._heartbeat = time.monotonic()
+        self._in_step = False
+        self.watchdog_fired = 0
+        sa = scheduler.server_args
+        self._watchdog_timeout = getattr(sa, "watchdog_timeout", 0.0)
+        self._watchdog_abort = getattr(sa, "watchdog_abort", False)
+        self._crash_dump_folder = getattr(sa, "crash_dump_folder", None)
+        self._nan_detect = getattr(sa, "enable_nan_detection", False)
         self._thread = threading.Thread(target=self._loop, daemon=True, name="scheduler")
         self._thread.start()
+        if self._watchdog_timeout:
+            self._watchdog = threading.Thread(
+                target=self._watchdog_loop, daemon=True, name="watchdog"
+            )
+            self._watchdog.start()
 
     # ----------------------------------------------------------------- API
 
@@ -165,8 +181,12 @@ class SchedulerThread:
                 continue
             try:
                 self._idle.clear()
+                self._heartbeat = time.monotonic()
+                self._in_step = True
                 updated = self.scheduler.step()
+                self._in_step = False
             except Exception:
+                self._in_step = False
                 logger.exception("scheduler step failed; aborting in-flight reqs")
                 self._fail_all()
                 continue
@@ -218,12 +238,76 @@ class SchedulerThread:
                     state.push(self._final_chunk(state))
 
     def _fail_all(self) -> None:
+        self.dump_requests("scheduler step failed")
         for rid in list(self._states):
             self.scheduler.abort_request(rid)
             state = self._states.pop(rid)
             state.req.status = ReqStatus.ABORTED
             state.req.finish_reason = FinishReason.ABORT
             state.push(self._final_chunk(state))
+
+    # ----------------------------------------------------------- robustness
+
+    def _watchdog_loop(self) -> None:
+        """Flag a scheduler step stuck past watchdog_timeout (reference:
+        scheduler.py:2186 — the thread that aborts a wedged GPU worker)."""
+        import faulthandler
+
+        while not self._shutdown.is_set():
+            time.sleep(min(self._watchdog_timeout / 4, 5.0))
+            if not self._in_step:
+                continue
+            stuck = time.monotonic() - self._heartbeat
+            if stuck < self._watchdog_timeout:
+                continue
+            self.watchdog_fired += 1
+            logger.critical(
+                "watchdog: scheduler step stuck for %.0fs "
+                "(running=%d waiting=%d)",
+                stuck,
+                len(self.scheduler.running_batch),
+                len(self.scheduler.waiting_queue),
+            )
+            self.dump_requests(f"watchdog: step stuck {stuck:.0f}s")
+            if self._watchdog_abort:
+                faulthandler.dump_traceback()
+                import os
+
+                os._exit(17)
+            # re-arm: one report per stuck period
+            self._heartbeat = time.monotonic()
+
+    def dump_requests(self, reason: str) -> None:
+        """Write in-flight request state for postmortem (reference:
+        tokenizer_manager.py:1284 dump_requests_before_crash +
+        --crash-dump-folder)."""
+        if not self._crash_dump_folder:
+            return
+        import json
+        import os
+
+        try:
+            os.makedirs(self._crash_dump_folder, exist_ok=True)
+            path = os.path.join(
+                self._crash_dump_folder, f"crash_{int(time.time())}.json"
+            )
+            reqs = []
+            for state in list(self._states.values()):
+                r = state.req
+                reqs.append({
+                    "rid": r.rid,
+                    "status": str(r.status),
+                    "prompt_len": r.prompt_len,
+                    "output_len": len(r.output_ids),
+                    "input_ids_head": list(r.input_ids[:64]),
+                    "output_ids": list(r.output_ids[-64:]),
+                })
+            with open(path, "w") as f:
+                json.dump({"reason": reason, "requests": reqs}, f, indent=1)
+            logger.error("crash dump written to %s (%d reqs)", path, len(reqs))
+        except Exception:
+            logger.exception("crash dump failed")
+
 
     # ------------------------------------------------------------- emission
 

@@ -71,6 +71,21 @@ class RadixCache:
         self.root.lock_ref = 1  # root is never evicted
         self._evictable_tokens = 0
         self._protected_tokens = 0
+        # KV event stream for external cache observers (reference:
+        # disaggregation/kv_events.py:119 ZmqEventPublisher + radix
+        # take_events radix_cache.py:497-544). Off by default; when
+        # enabled, insert/evict/clear append events drained by
+        # take_events() (engine RPC /get_kv_events).
+        self.enable_events = False
+        self._events: List[dict] = []
+
+    def _event(self, kind: str, **kw) -> None:
+        if self.enable_events:
+            self._events.append({"event": kind, "ts": time.time(), **kw})
+
+    def take_events(self) -> List[dict]:
+        ev, self._events = self._events, []
+        return ev
 
     # ---------------------------------------------------------------- helpers
 
@@ -106,6 +121,7 @@ class RadixCache:
         self.root.lock_ref = 1
         self._evictable_tokens = 0
         self._protected_tokens = 0
+        self._event("all_cleared")
 
     def match_prefix(self, tokens: List[int]) -> MatchResult:
         """Longest cached prefix of `tokens`, truncated to whole pages.
@@ -227,6 +243,7 @@ class RadixCache:
             node.children[self._chunk(tokens, pos)] = new
             tree_pages.extend(new.pages)
             self._evictable_tokens += len(new.key)
+            self._event("block_stored", tokens=len(new.key))
             node = new
         return dup_len, tree_pages, node
 
@@ -294,6 +311,7 @@ class RadixCache:
             self.free_fn(node.pages)
             evicted += len(node.key)
             self._evictable_tokens -= len(node.key)
+            self._event("block_removed", tokens=len(node.key))
             parent = node.parent
             parent.children.pop(self._edge_key(node), None)
             if parent is not self.root and parent.evictable:
