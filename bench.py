@@ -8,6 +8,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 - vs_baseline    : achieved HBM bytes/s divided by this chip's *measured*
                    streaming-read roofline (BASELINE.json gate: >=0.9x
                    roofline decode) — NOT a cross-hardware tok/s ratio.
+- w4a16_8b       : the SAME measurement on the BASELINE north-star model
+                   class — Llama-3-8B geometry, W4A16 dummy weights
+                   (VERDICT round 2 weak #7: "the bench measures the wrong
+                   model class"). Reported as a nested object so the driver
+                   still parses one primary metric line.
 - extra fields   : step-time breakdown + the roofline probe, so regressions
                    are attributable (VERDICT round 1, "What's weak" #1).
 """
@@ -57,10 +62,15 @@ def measure_roofline_gbps():
     return gb / dt
 
 
-def main():
+def run_decode_bench(cfg, quantization, num_pages, batch, prompt, decode,
+                     roofline_gbps):
+    """Steady-state decode through the real Scheduler; returns a stats dict.
+
+    ``vs_baseline`` is achieved-HBM-bytes/s over the chip's measured
+    streaming roofline; bytes per token-step are counted from the ACTUAL
+    device arrays (so int4 weights count their packed uint8 footprint)."""
     import jax
 
-    from sglang_custom_tpu.config.model_config import ModelConfig
     from sglang_custom_tpu.config.server_args import ServerArgs
     from sglang_custom_tpu.managers.schedule_batch import Req
     from sglang_custom_tpu.managers.scheduler import Scheduler
@@ -69,20 +79,6 @@ def main():
     from sglang_custom_tpu.parallel.mesh import create_mesh
     from sglang_custom_tpu.sampling.sampling_params import SamplingParams
 
-    # Llama-3.2-1B geometry.
-    cfg = ModelConfig(
-        architecture="LlamaForCausalLM",
-        vocab_size=128256,
-        hidden_size=2048,
-        num_layers=16,
-        num_q_heads=32,
-        num_kv_heads=8,
-        head_dim=64,
-        intermediate_size=8192,
-        rms_norm_eps=1e-5,
-        rope_theta=500000.0,
-        max_position_embeddings=4096,
-    )
     args = ServerArgs(
         model_path="",
         skip_tokenizer_init=True,
@@ -94,11 +90,11 @@ def main():
     )
 
     mesh_ctx = create_mesh(tp_size=1, dp_size=1)
-    params = load_dummy_weights(cfg, mesh_ctx)
-    runner = ModelRunner(args, cfg, params, mesh_ctx, num_pages=2048)
+    params = load_dummy_weights(cfg, mesh_ctx, quantization=quantization)
+    runner = ModelRunner(args, cfg, params, mesh_ctx, num_pages=num_pages)
 
     rng = np.random.RandomState(0)
-    prompts = [list(rng.randint(1, 100000, size=PROMPT)) for _ in range(BATCH)]
+    prompts = [list(rng.randint(1, 100000, size=prompt)) for _ in range(batch)]
 
     def make_reqs():
         return [
@@ -106,7 +102,7 @@ def main():
                 rid=f"r{i}",
                 input_ids=p,
                 sampling_params=SamplingParams(
-                    max_new_tokens=DECODE, temperature=0.0, ignore_eos=True
+                    max_new_tokens=decode, temperature=0.0, ignore_eos=True
                 ),
             )
             for i, p in enumerate(prompts)
@@ -143,39 +139,98 @@ def main():
 
     # ---- roofline accounting ----
     # Bytes a decode token-step must stream from HBM: the stacked layer
-    # weights + lm_head (bf16), plus the batch's KV context read.
+    # weights + lm_head (ACTUAL device footprint — int4 counts packed
+    # bytes), plus the batch's KV context read.
     layer_bytes = sum(
-        int(np.prod(v.shape)) * 2 for v in jax.tree.leaves(params["layers"])
+        v.size * v.dtype.itemsize for v in jax.tree.leaves(params["layers"])
     )
-    lm_head_bytes = int(np.prod(params["lm_head"].shape)) * 2
-    avg_ctx = PROMPT + DECODE / 2
-    kv_bytes = BATCH * avg_ctx * cfg.num_layers * cfg.kv_dim_per_token * 2
+    lm_head_bytes = params["lm_head"].size * params["lm_head"].dtype.itemsize
+    avg_ctx = prompt + decode / 2
+    kv_bytes = batch * avg_ctx * cfg.num_layers * cfg.kv_dim_per_token * 2
     bytes_per_token_step = layer_bytes + lm_head_bytes + kv_bytes
-    token_steps_per_s = toks_per_s / BATCH
+    token_steps_per_s = toks_per_s / batch
     achieved_gbps = bytes_per_token_step * token_steps_per_s / 1e9
 
-    roofline_gbps = measure_roofline_gbps()
-    frac = achieved_gbps / roofline_gbps
+    del runner, sched, params
+    return {
+        "value": round(toks_per_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(achieved_gbps / roofline_gbps, 3),
+        "achieved_gbps": round(achieved_gbps, 1),
+        "ms_per_token_step": round(1e3 / token_steps_per_s, 2),
+        "bytes_per_token_step_mb": round(bytes_per_token_step / 1e6, 1),
+        "prefill_s": round(prefill_s, 2),
+        "decode_scheduler_iterations": steps,
+        "batch": batch,
+        "decode_len": decode,
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "decode_tokens_per_sec_per_chip_llama3.2-1b_bf16_bs64",
-                "value": round(toks_per_s, 2),
-                "unit": "tokens/s",
-                # BASELINE.json gate: >=0.9x of chip roofline decode
-                "vs_baseline": round(frac, 3),
-                "roofline_gbps_measured": round(roofline_gbps, 1),
-                "achieved_gbps": round(achieved_gbps, 1),
-                "ms_per_token_step": round(1e3 / token_steps_per_s, 2),
-                "bytes_per_token_step_mb": round(bytes_per_token_step / 1e6, 1),
-                "prefill_s": round(prefill_s, 2),
-                "decode_scheduler_iterations": steps,
-                "batch": BATCH,
-                "decode_len": DECODE,
-            }
-        )
+
+def llama_1b_cfg():
+    from sglang_custom_tpu.config.model_config import ModelConfig
+
+    return ModelConfig(
+        architecture="LlamaForCausalLM",
+        vocab_size=128256,
+        hidden_size=2048,
+        num_layers=16,
+        num_q_heads=32,
+        num_kv_heads=8,
+        head_dim=64,
+        intermediate_size=8192,
+        rms_norm_eps=1e-5,
+        rope_theta=500000.0,
+        max_position_embeddings=4096,
     )
+
+
+def llama_8b_cfg():
+    """Llama-3-8B geometry — the BASELINE.json north-star model class."""
+    from sglang_custom_tpu.config.model_config import ModelConfig
+
+    return ModelConfig(
+        architecture="LlamaForCausalLM",
+        vocab_size=128256,
+        hidden_size=4096,
+        num_layers=32,
+        num_q_heads=32,
+        num_kv_heads=8,
+        head_dim=128,
+        intermediate_size=14336,
+        rms_norm_eps=1e-5,
+        rope_theta=500000.0,
+        max_position_embeddings=4096,
+    )
+
+
+def main():
+    roofline_gbps = measure_roofline_gbps()
+
+    primary = run_decode_bench(
+        llama_1b_cfg(), quantization=None, num_pages=2048,
+        batch=BATCH, prompt=PROMPT, decode=DECODE,
+        roofline_gbps=roofline_gbps,
+    )
+
+    # North-star model class: Llama-3-8B W4A16 (BASELINE.json). Smaller
+    # batch + page pool so weights (~4 GB int4) + KV fit one chip.
+    try:
+        w4 = run_decode_bench(
+            llama_8b_cfg(), quantization="w4a16", num_pages=1024,
+            batch=32, prompt=PROMPT, decode=DECODE,
+            roofline_gbps=roofline_gbps,
+        )
+        w4["metric"] = "decode_tokens_per_sec_per_chip_llama3-8b_w4a16_bs32"
+    except Exception as e:  # OOM on a small chip: report, don't fail the run
+        w4 = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    out = {
+        "metric": "decode_tokens_per_sec_per_chip_llama3.2-1b_bf16_bs64",
+        **primary,
+        "roofline_gbps_measured": round(roofline_gbps, 1),
+        "w4a16_8b": w4,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
