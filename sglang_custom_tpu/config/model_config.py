@@ -224,6 +224,14 @@ class ModelConfig:
             bits = qc.get("bits", qc.get("w_bit", 4))
             if quantization in ("awq", "gptq") and bits != 4:
                 raise ValueError(f"{quantization} bits={bits} unsupported")
+            if quantization == "compressed-tensors":
+                # Validate the scheme eagerly (raises on group-strategy /
+                # non-8-bit); loading resolves tensors per-proj.
+                from sglang_custom_tpu.layers.quantization.compressed_tensors import (
+                    parse_ct_scheme,
+                )
+
+                parse_ct_scheme(qc)
         return ModelConfig(
             architecture=arch,
             is_embedding=is_embedding,

@@ -22,7 +22,7 @@ class ServerArgs:
     dtype: str = "bfloat16"            # activation/weight compute dtype
     kv_cache_dtype: str = "auto"       # auto | bfloat16 | float32 | fp8_e4m3
     context_length: Optional[int] = None
-    quantization: Optional[str] = None  # None | awq | gptq | fp8 | int8
+    quantization: Optional[str] = None  # None | w4a16 | awq | gptq | fp8 | fp8_block | int8 | compressed-tensors
     load_format: str = "auto"          # auto | safetensors | dummy
     random_seed: int = 0
 

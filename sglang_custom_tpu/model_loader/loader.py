@@ -37,6 +37,8 @@ def _quantize_leaf(name: str, w, method: str, group_size: int):
     """[.., K, N] float stack -> dict of stacked quantized arrays."""
     from sglang_custom_tpu.layers.quantization import (
         quantize_fp8,
+        quantize_fp8_blockwise,
+        quantize_int8,
         quantize_w4a16,
     )
 
@@ -46,6 +48,10 @@ def _quantize_leaf(name: str, w, method: str, group_size: int):
     for i in range(flat.shape[0]):
         if method == "fp8":
             outs.append(quantize_fp8(flat[i]))
+        elif method == "fp8_block":
+            outs.append(quantize_fp8_blockwise(flat[i]))
+        elif method == "int8":
+            outs.append(quantize_int8(flat[i]))
         else:
             outs.append(quantize_w4a16(flat[i], group_size))
     stacked = {
@@ -126,7 +132,7 @@ def load_weights(
 
     key_map = model.hf_key_map(cfg)
 
-    if cfg.quantization in ("awq", "gptq"):
+    if cfg.quantization in ("awq", "gptq", "compressed-tensors"):
         return _load_prequantized(
             files, cfg, model, key_map, shapes, shardings, mesh_ctx, dtype
         )
@@ -193,7 +199,7 @@ def load_weights(
     if hasattr(model, "postprocess_weights"):
         model.postprocess_weights(staging, cfg)
 
-    if quantization in ("w4a16", "fp8"):
+    if quantization in ("w4a16", "fp8", "fp8_block", "int8"):
         staging, shardings = _apply_quantization(
             staging, shardings, quantization, cfg.quant_group_size, mesh_ctx
         )
@@ -253,12 +259,51 @@ def _load_prequantized(
         else:
             float_map[hf_name] = (path, idx, transpose)
 
+    # compressed-tensors stores the quantized tensor under ".weight" itself
+    # with ".weight_scale"/"..._zero_point" companions; AWQ/GPTQ use
+    # ".qweight"/".qzeros"/".scales"(/".g_idx").
+    is_ct = cfg.quantization == "compressed-tensors"
+    ct_wanted = set()
+    if is_ct:
+        for base in quant_names:
+            ct_wanted.update(
+                base + s
+                for s in (".weight", ".weight_scale", ".weight_zero_point",
+                          ".input_scale")
+            )
+
+    def read_raw(st, name):
+        import torch
+
+        t = st.get_tensor(name)
+        if t.dtype == torch.float8_e4m3fn:
+            return t.view(torch.uint8).numpy().view(np.dtype("float8_e4m3fn"))
+        return t.numpy()
+
     staging = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
     raw = {}
     seen = set()
     for f in files:
         with safe_open(f, framework="pt") as st:
             for name in st.keys():
+                if is_ct:
+                    if name in ct_wanted:
+                        raw[name] = read_raw(st, name)
+                        continue
+                    if name in float_map:
+                        path, idx, transpose = float_map[name]
+                        w = st.get_tensor(name).float().numpy()
+                        if transpose:
+                            w = np.ascontiguousarray(w.T)
+                        dst = staging
+                        for kpart in path[:-1]:
+                            dst = dst[kpart]
+                        if idx is None:
+                            dst[path[-1]][...] = w
+                        else:
+                            dst[path[-1]][idx] = w
+                        seen.add(name)
+                    continue
                 for suffix in (".qweight", ".qzeros", ".scales", ".g_idx"):
                     if name.endswith(suffix):
                         raw[name] = st.get_tensor(name).numpy()
@@ -285,6 +330,21 @@ def _load_prequantized(
     qlayers = {}
     for base, (path, idx) in quant_names.items():
         name = path[-1]
+        if is_ct:
+            from sglang_custom_tpu.layers.quantization.compressed_tensors import (
+                convert_ct_tensors,
+            )
+
+            qw = raw.get(base + ".weight")
+            if qw is None:
+                raise FileNotFoundError(f"missing {base}.weight")
+            qd = convert_ct_tensors(
+                qw,
+                raw.get(base + ".weight_scale"),
+                raw.get(base + ".weight_zero_point"),
+            )
+            qlayers.setdefault(name, {})[idx] = qd
+            continue
         qw = raw.get(base + ".qweight")
         if qw is None:
             raise FileNotFoundError(f"missing {base}.qweight")
@@ -333,7 +393,7 @@ def load_dummy_weights(
     shapes = model.param_shapes(cfg)
     shardings = model.param_shardings(cfg, mesh_ctx)
 
-    if quantization in ("w4a16", "fp8"):
+    if quantization in ("w4a16", "fp8", "fp8_block", "int8"):
         np_dtype = np.dtype(jnp.dtype(dtype).name)
         rng = np.random.Generator(np.random.SFC64(seed))
         block = (rng.standard_normal(1 << 20, dtype=np.float32) * 0.02)

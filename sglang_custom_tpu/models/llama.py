@@ -117,6 +117,17 @@ def mm(x: jax.Array, w) -> jax.Array:
             from sglang_custom_tpu.layers.quantization.w4a16 import w4a16_matmul
 
             return w4a16_matmul(x, w)
+        if w["qweight"].dtype == jnp.int8:
+            from sglang_custom_tpu.layers.quantization.int8 import int8_matmul
+
+            return int8_matmul(x, w)
+        if w["scales"].ndim == w["qweight"].ndim:
+            # per-(128,128)-block scales (DeepSeek-style blockwise fp8)
+            from sglang_custom_tpu.layers.quantization.blockwise_fp8 import (
+                fp8_blockwise_matmul,
+            )
+
+            return fp8_blockwise_matmul(x, w)
         from sglang_custom_tpu.layers.quantization.fp8 import fp8_matmul
 
         return fp8_matmul(x, w)
