@@ -17,6 +17,14 @@ import numpy as np
 
 class BaseBackend:
     tokenizer = None
+    # Optional lang.chat_template.ChatTemplate; when set it overrides the
+    # tokenizer's built-in chat template for prompt rendering.
+    chat_template = None
+
+    def set_chat_template(self, name: str) -> None:
+        from sglang_custom_tpu.lang.chat_template import get_chat_template
+
+        self.chat_template = get_chat_template(name)
 
     def generate(self, prompt: str, sampling: Dict) -> Tuple[str, Dict]:
         raise NotImplementedError

@@ -134,13 +134,23 @@ class ProgramState:
 
     # ------------------------------------------------------------ internal
 
+    def _render_chat(self, messages, add_generation_prompt: bool = True) -> str:
+        """Render chat messages to a prompt: an explicit ChatTemplate on the
+        backend wins (lang/chat_template.py registry — reference:
+        lang/chat_template.py get_chat_template), else the HF tokenizer's
+        built-in template."""
+        ct = getattr(self.backend, "chat_template", None)
+        if ct is not None:
+            return ct.render(messages, add_generation_prompt)
+        tok = self.backend.tokenizer
+        return tok.apply_chat_template(
+            messages, tokenize=False,
+            add_generation_prompt=add_generation_prompt,
+        )
+
     def _prompt_for_gen(self, partial: str = "") -> str:
         if self.chat_mode:
-            tok = self.backend.tokenizer
-            prompt = tok.apply_chat_template(
-                self.messages, tokenize=False, add_generation_prompt=True
-            )
-            return prompt + partial
+            return self._render_chat(self.messages) + partial
         return self.text() + partial
 
     def _execute(self, expr) -> None:
@@ -193,16 +203,23 @@ class ProgramState:
                 raise TypeError(type(p).__name__)
 
     def _execute_gen(self, g: SglGen, partial: str, in_role: bool = False) -> str:
-        if in_role:
-            # render chat template up to the open assistant turn
-            tok = self.backend.tokenizer
-            base = tok.apply_chat_template(
-                self.messages[:-1], tokenize=False, add_generation_prompt=True
+        if (
+            in_role
+            and not partial
+            and hasattr(self.backend, "generate_chat")
+        ):
+            # Chat-native API (OpenAI/Anthropic client backends): send the
+            # message list itself; no prompt rendering happens client-side.
+            out, meta = self.backend.generate_chat(
+                self.messages[:-1], g.sampling
             )
-            prompt = base + partial
         else:
-            prompt = self.text()
-        out, meta = self.backend.generate(prompt, g.sampling)
+            if in_role:
+                # render chat template up to the open assistant turn
+                prompt = self._render_chat(self.messages[:-1]) + partial
+            else:
+                prompt = self.text()
+            out, meta = self.backend.generate(prompt, g.sampling)
         if g.name:
             self.variables[g.name] = out
             self.meta[g.name] = meta
@@ -214,11 +231,7 @@ class ProgramState:
     def _execute_select(self, sel: SglSelect, partial: str,
                         in_role: bool = False) -> str:
         if in_role:
-            tok = self.backend.tokenizer
-            base = tok.apply_chat_template(
-                self.messages[:-1], tokenize=False, add_generation_prompt=True
-            )
-            prompt = base + partial
+            prompt = self._render_chat(self.messages[:-1]) + partial
         else:
             prompt = self.text()
         choice, scores = self.backend.select(prompt, sel.choices)

@@ -32,6 +32,7 @@ PER_COMMIT = [
     ("test_parsers.py", 30),
     ("test_framework_tools.py", 40),
     ("test_lang_dsl.py", 90),
+    ("test_chat_template.py", 30),
     ("test_hiradix_cache.py", 60),
     ("test_sampling_features.py", 90),
     ("test_lm_head_kernel.py", 60),
