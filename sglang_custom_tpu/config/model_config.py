@@ -80,6 +80,9 @@ class ModelConfig:
     # (reference: srt/models/llama.py LlamaEmbeddingModel + is_generation
     # model_config handling)
     is_embedding: bool = False
+    # reward / sequence-classification head width (models/classify.py);
+    # 0 = not a classification model
+    num_labels: int = 0
     # --- multimodal (llava-family; reference: srt/models/llava.py +
     # srt/multimodal/processors/) ---
     # normalized vision-tower config dict (see models/vision_clip.py);
@@ -198,6 +201,22 @@ class ModelConfig:
             text.setdefault("vocab_size", cfg.get("vocab_size", 262208))
             return ModelConfig.from_hf_dict(text)
         is_embedding = cfg.get("is_embedding", False)
+        num_labels = 0
+        if arch in (
+            "LlamaForSequenceClassification",
+            "Qwen2ForSequenceClassification",
+            "Qwen2ForRewardModel",
+            "InternLM2ForRewardModel",
+        ):
+            # Reward/classification: causal trunk + score head, served
+            # through the pooled embedding path (models/classify.py).
+            is_embedding = True
+            # HF serializes the label count as id2label, not num_labels
+            num_labels = (
+                cfg.get("num_labels")
+                or len(cfg.get("id2label") or ())
+                or 1
+            )
         if arch.endswith("Model"):
             # Bare-trunk embedding checkpoints (e5-mistral = MistralModel,
             # gte-qwen2 = Qwen2Model): serve the matching causal trunk with
@@ -235,6 +254,7 @@ class ModelConfig:
         return ModelConfig(
             architecture=arch,
             is_embedding=is_embedding,
+            num_labels=num_labels,
             vocab_size=cfg["vocab_size"],
             hidden_size=cfg["hidden_size"],
             num_layers=cfg["num_hidden_layers"],

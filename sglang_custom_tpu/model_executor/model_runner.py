@@ -491,6 +491,12 @@ class ModelRunner:
             pooled = jnp.take_along_axis(
                 hidden, idx[:, None, None], axis=1
             )[:, 0].astype(jnp.float32)
+        if "score_head" in params:
+            # Reward/classification model: raw score logits, no
+            # normalization (models/classify.py pooled_head).
+            from sglang_custom_tpu.models.classify import pooled_head
+
+            return kv, pooled_head(params, pooled)
         norm = jnp.sqrt(jnp.sum(pooled * pooled, axis=-1, keepdims=True))
         return kv, pooled / jnp.maximum(norm, 1e-12)
 

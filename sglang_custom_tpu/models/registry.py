@@ -17,6 +17,7 @@ import types
 from typing import Dict
 
 from sglang_custom_tpu.models import (
+    classify,
     deepseek,
     gemma,
     glm,
@@ -51,6 +52,12 @@ MODEL_REGISTRY: Dict[str, types.ModuleType] = {
     # vision-language (reference: srt/models/llava.py)
     "LlavaForConditionalGeneration": llava,
     "LlavaLlamaForCausalLM": llava,
+    # reward / sequence classification (reference: srt/models/qwen2_rm.py,
+    # llama_classification.py, internlm2_reward.py)
+    "LlamaForSequenceClassification": classify,
+    "Qwen2ForSequenceClassification": classify,
+    "Qwen2ForRewardModel": classify,
+    "InternLM2ForRewardModel": classify,
 }
 
 

@@ -53,6 +53,7 @@ NIGHTLY = [
     ("test_speculative.py", 300),
     ("test_model_zoo.py", 300),
     ("test_embeddings.py", 180),
+    ("test_classification.py", 180),
     ("test_lora.py", 240),
     ("test_multimodal.py", 240),
     ("test_http_server.py", 240),
