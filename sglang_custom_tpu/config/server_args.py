@@ -23,7 +23,7 @@ class ServerArgs:
     kv_cache_dtype: str = "auto"       # auto | bfloat16 | float32 | fp8_e4m3
     context_length: Optional[int] = None
     quantization: Optional[str] = None  # None | w4a16 | awq | gptq | fp8 | fp8_block | int8 | compressed-tensors
-    load_format: str = "auto"          # auto | safetensors | dummy
+    load_format: str = "auto"          # auto | safetensors | dummy | sharded
     random_seed: int = 0
 
     # KV cache / memory

@@ -89,6 +89,15 @@ class Engine:
                     self.model_config, self.mesh_ctx, dtype=dtype,
                     quantization=server_args.quantization,
                 )
+            elif server_args.load_format == "sharded":
+                from sglang_custom_tpu.model_loader.sharded_state import (
+                    load_sharded_state,
+                )
+
+                params = load_sharded_state(
+                    server_args.model_path, self.model_config,
+                    self.mesh_ctx, dtype,
+                )
             else:
                 params = load_weights(
                     server_args.model_path, self.model_config, self.mesh_ctx,
@@ -848,6 +857,21 @@ class Engine:
             return {"success": False, "message": str(e)}
         finally:
             self.scheduler_thread.resume()
+
+    def save_sharded_checkpoint(self, path: str) -> Dict[str, Any]:
+        """Write the current (sharded) weights as an orbax checkpoint that
+        ``load_format="sharded"`` restores without a full-checkpoint gather
+        (reference: ShardedStateLoader.save_model, model_loader/loader.py:654
+        + /save_sharded_model RPC)."""
+        from sglang_custom_tpu.model_loader.sharded_state import (
+            save_sharded_state,
+        )
+
+        try:
+            save_sharded_state(self.runner.params, path)
+            return {"success": True, "message": path}
+        except Exception as e:
+            return {"success": False, "message": str(e)}
 
     def get_weights_by_name(self, name: str):
         """Debug introspection (reference: get_weights_by_name RPC)."""
