@@ -161,6 +161,12 @@ def fused_lm_head_sample(
     B, H = hidden.shape
     V = w.shape[1]
     TV = 1024 if V >= 1024 else max(128, V)
+    # The [H, TV] bf16 weight tile is double-buffered in VMEM; keep it
+    # under ~12 MB so the kernel's scoped allocation fits the 16 MB VMEM
+    # budget (H=4096/TV=1024 is exactly 16 MB and OOM'd on the 8B
+    # geometry — Mosaic "kernel-vmem-stack-oom").
+    while H * TV * 2 * 2 > 12 * 2**20 and TV > 256:
+        TV //= 2
     n_tiles = pl.cdiv(V, TV)
 
     inv_temp = (1.0 / jnp.maximum(temperature, 1e-6)).reshape(1, B)
