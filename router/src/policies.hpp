@@ -43,6 +43,7 @@ struct WorkerState {
   size_t total = 0;         // lifetime requests
   size_t failures = 0;
   bool healthy = true;
+  size_t consec_probe_failures = 0;  // active health-check state
   std::deque<RequestMetrics> window;  // sliding window for V2 policies
 };
 

@@ -77,10 +77,36 @@ class Router {
       os << "{\"url\": \"" << workers_[i]->url
          << "\", \"outstanding\": " << workers_[i]->outstanding
          << ", \"total\": " << workers_[i]->total
-         << ", \"failures\": " << workers_[i]->failures << "}";
+         << ", \"failures\": " << workers_[i]->failures
+         << ", \"healthy\": " << (workers_[i]->healthy ? "true" : "false")
+         << "}";
     }
     os << "]}";
     return os.str();
+  }
+
+  // Active health checking (reference: sgl-router
+  // src/core/worker.rs health-checker loop — periodic GET /health with a
+  // consecutive-failure threshold; a single success restores the worker).
+  std::vector<std::string> worker_urls() {
+    std::lock_guard<std::mutex> lk(mu_);
+    std::vector<std::string> urls;
+    for (auto& w : workers_) urls.push_back(w->url);
+    return urls;
+  }
+
+  void record_probe(const std::string& url, bool ok, size_t fail_threshold) {
+    std::lock_guard<std::mutex> lk(mu_);
+    for (auto& w : workers_)
+      if (w->url == url) {
+        if (ok) {
+          w->consec_probe_failures = 0;
+          w->healthy = true;
+        } else if (++w->consec_probe_failures >= fail_threshold) {
+          w->healthy = false;
+        }
+        return;
+      }
   }
 
   std::string metrics() {
@@ -195,6 +221,33 @@ static bool proxy_request(const std::string& url, const HttpRequest& req,
   return ok && wrote;
 }
 
+// One active /health probe: TCP connect + GET, true iff an HTTP 200 comes
+// back. Short socket timeouts so a hung worker can't stall the checker.
+static bool probe_health(const std::string& url) {
+  std::string host;
+  int port;
+  if (!parse_url(url, &host, &port)) return false;
+  int fd = connect_to(host, port);
+  if (fd < 0) return false;
+  timeval tv{1, 0};
+  setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+  setsockopt(fd, SOL_SOCKET, SO_SNDTIMEO, &tv, sizeof(tv));
+  std::ostringstream os;
+  os << "GET /health HTTP/1.1\r\nHost: " << host
+     << "\r\nConnection: close\r\n\r\n";
+  bool ok = false;
+  if (send_all(fd, os.str())) {
+    char buf[256];
+    ssize_t n = ::recv(fd, buf, sizeof(buf) - 1, 0);
+    if (n > 0) {
+      buf[n] = 0;
+      ok = std::string(buf, size_t(n)).find(" 200") != std::string::npos;
+    }
+  }
+  ::close(fd);
+  return ok;
+}
+
 static std::string json_field(const std::string& body, const std::string& key) {
   // naive "key": "value" extraction (control endpoints only)
   auto k = body.find("\"" + key + "\"");
@@ -271,6 +324,8 @@ int main(int argc, char** argv) {
   std::vector<std::string> workers;
   std::vector<double> probs;
   size_t trace_cap = 1000;
+  int health_ms = 5000;  // 0 disables active health checks
+  size_t health_threshold = 3;
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
     auto next = [&]() -> std::string {
@@ -280,6 +335,9 @@ int main(int argc, char** argv) {
     else if (a == "--policy") policy_name = next();
     else if (a == "--worker") workers.push_back(next());
     else if (a == "--trace-capacity") trace_cap = std::stoul(next());
+    else if (a == "--health-interval-ms") health_ms = std::stoi(next());
+    else if (a == "--health-fail-threshold")
+      health_threshold = std::stoul(next());
     else if (a == "--probs") {
       std::istringstream ps(next());
       std::string tok;
@@ -294,6 +352,16 @@ int main(int argc, char** argv) {
   Router router_obj(std::move(policy), trace_cap);
   g_router = &router_obj;
   for (auto& w : workers) router_obj.add_worker(w);
+
+  if (health_ms > 0) {
+    std::thread([health_ms, health_threshold]() {
+      while (true) {
+        for (auto& url : g_router->worker_urls())
+          g_router->record_probe(url, probe_health(url), health_threshold);
+        std::this_thread::sleep_for(std::chrono::milliseconds(health_ms));
+      }
+    }).detach();
+  }
 
   signal(SIGPIPE, SIG_IGN);
   int srv = ::socket(AF_INET, SOCK_STREAM, 0);

@@ -69,10 +69,14 @@ def launch_router(
     policy: str = "cache_aware",
     probs: Optional[List[float]] = None,
     trace_capacity: int = 1000,
+    health_interval_ms: int = 5000,
+    health_fail_threshold: int = 3,
 ) -> RouterHandle:
     binary = build_router()
     cmd = [binary, "--port", str(port), "--policy", policy,
-           "--trace-capacity", str(trace_capacity)]
+           "--trace-capacity", str(trace_capacity),
+           "--health-interval-ms", str(health_interval_ms),
+           "--health-fail-threshold", str(health_fail_threshold)]
     for w in workers:
         cmd += ["--worker", w]
     if probs:

@@ -46,6 +46,13 @@ class FakeWorker:
                 self.wfile.write(resp)
 
             def do_GET(self):
+                if self.path == "/health":
+                    resp = b'{"status": "ok"}'
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(resp)))
+                    self.end_headers()
+                    self.wfile.write(resp)
+                    return
                 self.do_POST()
 
             def log_message(self, *a):
@@ -191,3 +198,79 @@ def test_no_workers_503():
         assert e.value.code == 503
     finally:
         handle.shutdown()
+
+
+def test_active_health_checks():
+    """A dead worker is actively probed out of rotation and restored when
+    it comes back (reference: sgl-router health-checker loop)."""
+    import time
+
+    live = FakeWorker()
+    dead = FakeWorker()
+    handle = launch_router(
+        _free_port(), [live.url, dead.url], policy="round_robin",
+        health_interval_ms=100, health_fail_threshold=2,
+    )
+    try:
+        dead_url = dead.url
+        dead.stop()  # worker dies; probes must notice within ~300ms
+        dead.httpd.server_close()  # release the port for the revive below
+        deadline = time.monotonic() + 5
+        unhealthy = False
+        while time.monotonic() < deadline:
+            _, loads = _get(handle.base_url + "/get_loads")
+            by_url = {l["url"]: l for l in loads["loads"]}
+            if not by_url[dead_url]["healthy"]:
+                unhealthy = True
+                break
+            time.sleep(0.05)
+        assert unhealthy, "dead worker never marked unhealthy"
+
+        # All traffic lands on the live worker; nothing 502s.
+        for i in range(6):
+            status, out = _post(handle.base_url + "/generate", {"text": f"h{i}"})
+            assert status == 200
+            assert out["worker_port"] == live.port
+
+        # Revive on the same port: a single successful probe restores it.
+        revived = FakeWorker.__new__(FakeWorker)
+        revived.port = int(dead_url.rsplit(":", 1)[1])
+        revived.count = 0
+        import json as _json
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        worker = revived
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                self.rfile.read(n)
+                worker.count += 1
+                resp = _json.dumps({"text": "ok",
+                                    "worker_port": worker.port}).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+
+            do_GET = do_POST
+
+            def log_message(self, *a):
+                pass
+
+        revived.httpd = ThreadingHTTPServer(("127.0.0.1", revived.port), Handler)
+        threading.Thread(target=revived.httpd.serve_forever, daemon=True).start()
+        deadline = time.monotonic() + 5
+        healthy = False
+        while time.monotonic() < deadline:
+            _, loads = _get(handle.base_url + "/get_loads")
+            by_url = {l["url"]: l for l in loads["loads"]}
+            if by_url[dead_url]["healthy"]:
+                healthy = True
+                break
+            time.sleep(0.05)
+        assert healthy, "revived worker never restored"
+        revived.stop()
+    finally:
+        handle.shutdown()
+        live.stop()
