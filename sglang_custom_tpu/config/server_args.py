@@ -21,6 +21,10 @@ class ServerArgs:
     tokenizer_path: Optional[str] = None
     dtype: str = "bfloat16"            # activation/weight compute dtype
     kv_cache_dtype: str = "auto"       # auto | bfloat16 | float32 | fp8_e4m3
+    # Static FP8-KV dequant scale (kv_cache_dtype=fp8_e4m3): the pool
+    # stores kv/scale, attention multiplies it back (reference:
+    # layers/quantization/kv_cache.py k_scale/v_scale)
+    kv_cache_scale: float = 1.0
     context_length: Optional[int] = None
     quantization: Optional[str] = None  # None | w4a16 | awq | gptq | fp8 | fp8_block | int8 | compressed-tensors
     load_format: str = "auto"          # auto | safetensors | dummy | sharded

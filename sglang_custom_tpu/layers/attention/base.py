@@ -62,16 +62,23 @@ def write_kv_pages(
     kv_pool: jax.Array,
     layer,
     meta: ForwardMeta,
+    kv_scale: float = 1.0,
 ) -> jax.Array:
     """Scatter this step's K/V into layer ``layer`` of the paged pool.
 
     Padding tokens (t >= extend_lens[b]) are routed to the garbage page 0 so
     the scatter stays branch-free (allocator.py GARBAGE_PAGE). In-place on a
     donated pool (one XLA scatter; no layer-slice copies).
+
+    FP8 pools store ``kv / kv_scale`` (static scale; reference:
+    layers/quantization/kv_cache.py k_scale/v_scale) — the read side
+    multiplies the scale back after the f8 load.
     """
     import jax.numpy as jnp
 
     kv_new = jnp.concatenate([k_new, v_new], axis=-1)  # [B, T, Hkv, 2D]
+    if kv_pool.dtype == jnp.float8_e4m3fn and kv_scale != 1.0:
+        kv_new = kv_new / jnp.asarray(kv_scale, kv_new.dtype)
     return write_kv_pages_folded(kv_new, kv_pool, layer, meta)
 
 

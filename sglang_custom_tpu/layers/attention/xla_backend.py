@@ -20,6 +20,11 @@ _NEG_INF = -1e30
 
 
 class XlaAttentionBackend(AttentionBackend):
+    def __init__(self, kv_scale: float = 1.0):
+        # Static FP8-KV dequant scale (1.0 for bf16/f32 pools); reference:
+        # layers/quantization/kv_cache.py Fp8KVCacheMethod.
+        self.kv_scale = kv_scale
+
     def __call__(
         self,
         q: jax.Array,
@@ -32,7 +37,9 @@ class XlaAttentionBackend(AttentionBackend):
         window=None,
         softcap: float = 0.0,
     ):
-        kv_pool = write_kv_pages(k_new, v_new, kv_pool, layer, meta)
+        kv_pool = write_kv_pages(
+            k_new, v_new, kv_pool, layer, meta, kv_scale=self.kv_scale
+        )
         layer_kv = jax.lax.dynamic_index_in_dim(
             kv_pool, layer, axis=0, keepdims=False
         )
@@ -44,6 +51,10 @@ class XlaAttentionBackend(AttentionBackend):
 
         # Gather the pages of every request: [Hkv, B, PMAX, ps, 2D]
         gathered = layer_kv[:, meta.page_table]
+        if gathered.dtype == jnp.float8_e4m3fn:
+            gathered = gathered.astype(q.dtype) * jnp.asarray(
+                self.kv_scale, q.dtype
+            )
         k = gathered[..., :D].reshape(Hkv, B, S, D)
         v = gathered[..., D:].reshape(Hkv, B, S, D)
 

@@ -55,7 +55,10 @@ def supports_geometry(head_dim: int, page_size: int, kv_dtype) -> bool:
     """Whether these kernels compile on real TPU hardware for this KV
     geometry. The folded lane dim (2*head_dim) must be a multiple of the
     128-lane tile, and strip offsets (multiples of page_size) must be
-    sublane-aligned."""
+    sublane-aligned. FP8 pools (kv_cache_dtype=fp8_e4m3) take the XLA
+    backend: the kernels' strip DMAs assume 16/8-sublane tiles."""
+    if kv_dtype not in (jnp.bfloat16, jnp.float32):
+        return False
     return (2 * head_dim) % 128 == 0 and page_size % _sublanes(kv_dtype) == 0
 
 

@@ -55,6 +55,7 @@ NIGHTLY = [
     ("test_embeddings.py", 180),
     ("test_classification.py", 180),
     ("test_sharded_state.py", 180),
+    ("test_fp8_kv.py", 180),
     ("test_lora.py", 240),
     ("test_multimodal.py", 240),
     ("test_http_server.py", 240),
