@@ -103,6 +103,11 @@ def w4a16_matmul_pallas(
     assert supported_shape(K, N, G), (K, N, G)
     ckp = _ckp(G)
     tb = min(TILE_B, max(8, M))
+    # Cap the (tb, K) bf16 activation block so its double-buffered VMEM
+    # footprint stays under ~10 MB: at K=14336 (8B down_proj) tb=256 is
+    # 14.7 MB and trips Mosaic's 16 MB scoped-vmem limit during prefill.
+    max_tb = max(8, (10 * 2**20 // (K * 4)) // 8 * 8)
+    tb = min(tb, max_tb)
     Mp = pl.cdiv(M, tb) * tb
     if Mp != M:
         x = jnp.pad(x, ((0, Mp - M), (0, 0)))
