@@ -62,8 +62,122 @@ def measure_roofline_gbps():
     return gb / dt
 
 
+def measure_parts(runner, params, cfg, batch, seq):
+    """In-situ per-op decode attribution, published with the bench artifact
+    (VERDICT r3 weak #1: the ~2.6 ms/step unattributed gap must be in the
+    JSON, not in a side script). Each variant runs 8 chained decode
+    iterations inside ONE jit dispatch, so deltas between variants isolate
+    layer matmuls / attention kernel / lm_head+sampler without the remote
+    chip's per-dispatch latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from sglang_custom_tpu.layers.sampler import SamplingMeta
+    from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
+    from sglang_custom_tpu.ops.lm_head import fused_lm_head_sample
+
+    fmt = runner.kv_pool.fmt
+    P = (seq + runner.page_size - 1) // runner.page_size + 2
+    rng = np.random.RandomState(0)
+    page_table = jnp.asarray(
+        (np.arange(batch * P).reshape(batch, P)) % (runner.num_pages - 1) + 1,
+        jnp.int32,
+    )
+    tok0 = jnp.asarray(rng.randint(1, 1000, (batch,)), jnp.int32)
+    pos0 = jnp.full((batch,), seq - 1, jnp.int32)
+    sl0 = jnp.full((batch,), seq, jnp.int32)
+    smeta = SamplingMeta(
+        temperature=jnp.zeros((batch,)),
+        top_k=jnp.full((batch,), cfg.vocab_size, jnp.int32),
+        top_p=jnp.ones((batch,)), min_p=jnp.zeros((batch,)),
+    )
+
+    def scan8(tail, with_attn=True):
+        def fn(params, kv, tok, pos, sl):
+            def step(carry, i):
+                kv, tok, pos, sl = carry
+                if with_attn:
+                    m = ForwardMeta(
+                        token_ids=tok[:, None], positions=pos[:, None],
+                        page_table=page_table, seq_lens=sl,
+                        extend_lens=jnp.ones_like(sl),
+                    )
+                    hidden, kv = runner.model.forward(
+                        params, cfg, m, kv, runner.attn_backend
+                    )
+                else:
+                    m = None
+                    x = jnp.take(params["embed"], tok[:, None], axis=0)
+
+                    def layer(x, lp):
+                        q = jnp.matmul(x, lp["q_proj"])
+                        k = jnp.matmul(x, lp["k_proj"])
+                        v = jnp.matmul(x, lp["v_proj"])
+                        o = jnp.matmul(q, lp["o_proj"])
+                        g = jnp.matmul(x, lp["gate_proj"])
+                        u = jnp.matmul(x, lp["up_proj"])
+                        d = jnp.matmul(
+                            jax.nn.silu(g) * u, lp["down_proj"]
+                        )
+                        z = (k.sum() + v.sum()) * 0
+                        return (x + o + d + z).astype(x.dtype), None
+
+                    x, _ = jax.lax.scan(layer, x, params["layers"])
+                    hidden = x
+                tok2 = tail(params, hidden, m)
+                return (kv, tok2, pos + 1, sl + 1), ()
+
+            (kv, tok, _, _), _ = jax.lax.scan(
+                step, (kv, tok, pos, sl), jnp.arange(8)
+            )
+            return kv, tok
+
+        return jax.jit(
+            fn, donate_argnums=(1,),
+            in_shardings=(None, fmt, None, None, None),
+            out_shardings=(fmt, None),
+        )
+
+    def tail_none(params, hidden, m):
+        return (hidden[:, 0, :64].sum(-1).astype(jnp.int32) % 1000) + 1
+
+    def tail_fused(params, hidden, m):
+        last = hidden[:, 0]
+        tok, lp = fused_lm_head_sample(
+            last, params["lm_head"], smeta.temperature, jnp.int32(3),
+            stochastic=False,
+            interpret=getattr(runner.attn_backend, "interpret", False),
+        )
+        return tok + (lp.astype(jnp.int32) * 0)
+
+    state = {"kv": runner.kv_pool.kv}
+
+    def bench_one(fn, n=10):
+        def run():
+            state["kv"], tok = fn(params, state["kv"], tok0, pos0, sl0)
+            return tok
+        for _ in range(2):
+            h = run()
+        jax.block_until_ready(h)
+        t0 = time.perf_counter()
+        hs = [run() for _ in range(n)]
+        jax.block_until_ready(hs[-1])
+        return (time.perf_counter() - t0) / n / 8 * 1e3
+
+    a = bench_one(scan8(tail_none, with_attn=False))
+    b = bench_one(scan8(tail_none))
+    c = bench_one(scan8(tail_fused))
+    runner.kv_pool.kv = state["kv"]
+    return {
+        "matmul_ms": round(a, 3),
+        "attention_ms": round(b - a, 3),
+        "lm_head_ms": round(c - b, 3),
+        "in_situ_total_ms": round(c, 3),
+    }
+
+
 def run_decode_bench(cfg, quantization, num_pages, batch, prompt, decode,
-                     roofline_gbps):
+                     roofline_gbps, attr=False):
     """Steady-state decode through the real Scheduler; returns a stats dict.
 
     ``vs_baseline`` is achieved-HBM-bytes/s over the chip's measured
@@ -151,8 +265,21 @@ def run_decode_bench(cfg, quantization, num_pages, batch, prompt, decode,
     token_steps_per_s = toks_per_s / batch
     achieved_gbps = bytes_per_token_step * token_steps_per_s / 1e9
 
+    breakdown = None
+    if attr:
+        breakdown = measure_parts(
+            runner, params, cfg, batch, prompt + decode // 2
+        )
+        breakdown["dispatch_ms"] = round(
+            1e3 / token_steps_per_s - breakdown["in_situ_total_ms"], 3
+        )
+
     del runner, sched, params
     return {
+        **({"breakdown": breakdown} if breakdown else {}),
+        "live_gib_end": round(
+            sum(a.nbytes for a in jax.live_arrays()) / 2**30, 2
+        ),
         "value": round(toks_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(achieved_gbps / roofline_gbps, 3),
@@ -209,11 +336,20 @@ def main():
     primary = run_decode_bench(
         llama_1b_cfg(), quantization=None, num_pages=2048,
         batch=BATCH, prompt=PROMPT, decode=DECODE,
-        roofline_gbps=roofline_gbps,
+        roofline_gbps=roofline_gbps, attr=True,
     )
 
     # North-star model class: Llama-3-8B W4A16 (BASELINE.json). Smaller
-    # batch + page pool so weights (~4 GB int4) + KV fit one chip.
+    # batch + page pool so weights (~4 GB int4) + KV fit one chip. Drop
+    # every buffer/executable the 1B bench left behind first: round 3's
+    # RESOURCE_EXHAUSTED was cumulative state, not the 8B config itself
+    # (scripts/diag_w4a16.py runs this exact config standalone, green).
+    import gc
+
+    import jax
+
+    gc.collect()
+    jax.clear_caches()
     try:
         w4 = run_decode_bench(
             llama_8b_cfg(), quantization="w4a16", num_pages=1024,
@@ -222,7 +358,14 @@ def main():
         )
         w4["metric"] = "decode_tokens_per_sec_per_chip_llama3-8b_w4a16_bs32"
     except Exception as e:  # OOM on a small chip: report, don't fail the run
-        w4 = {"error": f"{type(e).__name__}: {e}"[:200]}
+        live = sorted(
+            (a.nbytes for a in jax.live_arrays()), reverse=True
+        )
+        w4 = {
+            "error": f"{type(e).__name__}: {e}"[:200],
+            "live_gib_at_failure": round(sum(live) / 2**30, 2),
+            "largest_live_mb": [round(b / 2**20, 1) for b in live[:8]],
+        }
 
     out = {
         "metric": "decode_tokens_per_sec_per_chip_llama3.2-1b_bf16_bs64",

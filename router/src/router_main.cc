@@ -240,8 +240,19 @@ static bool probe_health(const std::string& url) {
     char buf[256];
     ssize_t n = ::recv(fd, buf, sizeof(buf) - 1, 0);
     if (n > 0) {
-      buf[n] = 0;
-      ok = std::string(buf, size_t(n)).find(" 200") != std::string::npos;
+      // Parse ONLY the status line ("HTTP/1.x 200 ..."): matching " 200"
+      // anywhere in the response let a 503 with a Content-Length/body
+      // containing "200" pass the probe (round-3 advisor finding).
+      std::string resp(buf, size_t(n));
+      auto eol = resp.find("\r\n");
+      std::string status = resp.substr(0, eol == std::string::npos ? n : eol);
+      auto sp = status.find(' ');
+      if (status.compare(0, 5, "HTTP/") == 0 && sp != std::string::npos) {
+        auto end = status.find(' ', sp + 1);
+        ok = status.substr(sp + 1, end == std::string::npos
+                                       ? std::string::npos
+                                       : end - sp - 1) == "200";
+      }
     }
   }
   ::close(fd);

@@ -142,7 +142,25 @@ class ProgramState:
         ct = getattr(self.backend, "chat_template", None)
         if ct is not None:
             return ct.render(messages, add_generation_prompt)
-        tok = self.backend.tokenizer
+        tok = getattr(self.backend, "tokenizer", None)
+        if tok is None:
+            # Client backends (OpenAI/Anthropic) carry no tokenizer: try to
+            # resolve a registered template from the model name before
+            # failing with an actionable error (round-3 advisor finding).
+            from sglang_custom_tpu.lang.chat_template import (
+                match_chat_template,
+            )
+
+            name = getattr(self.backend, "model", "") or ""
+            ct = match_chat_template(name)
+            if ct is not None:
+                self.backend.chat_template = ct
+                return ct.render(messages, add_generation_prompt)
+            raise RuntimeError(
+                "this backend has no tokenizer and no chat template; call "
+                "backend.set_chat_template(...) (lang/chat_template.py "
+                "registry) before using chat-mode select()/partial gen()"
+            )
         return tok.apply_chat_template(
             messages, tokenize=False,
             add_generation_prompt=add_generation_prompt,

@@ -19,24 +19,36 @@ def parse_ct_scheme(qc: dict) -> str:
     """Map a HF ``quantization_config`` (quant_method=compressed-tensors)
     to a supported scheme name: "int8" or "fp8".
 
-    Reads the first config group's weight spec (num_bits + type), the same
-    resolution order as the reference's ``get_scheme``.
+    Validates EVERY config group (checkpoints can carry several); all
+    groups must resolve to the same supported scheme — a later group with
+    an unsupported 4-bit/group spec must fail here, not load garbage
+    (round-3 advisor finding). Resolution mirrors the reference's
+    ``get_scheme``.
     """
     groups = qc.get("config_groups") or {}
-    for g in groups.values():
+    schemes = set()
+    for gname, g in groups.items():
         w = g.get("weights") or {}
         bits = w.get("num_bits", 8)
         ty = w.get("type", "int")
         if bits != 8:
             raise ValueError(
-                f"compressed-tensors: only 8-bit weights supported, got {bits}"
+                f"compressed-tensors: only 8-bit weights supported, "
+                f"group {gname!r} has {bits}"
             )
         if w.get("strategy") == "group":
             raise ValueError(
-                "compressed-tensors: group-strategy weights unsupported "
-                "(use channel/tensor)"
+                f"compressed-tensors: group-strategy weights unsupported "
+                f"(group {gname!r}; use channel/tensor)"
             )
-        return "fp8" if ty == "float" else "int8"
+        schemes.add("fp8" if ty == "float" else "int8")
+    if len(schemes) > 1:
+        raise ValueError(
+            f"compressed-tensors: mixed schemes across config groups "
+            f"unsupported: {sorted(schemes)}"
+        )
+    if schemes:
+        return schemes.pop()
     # No groups (e.g. pure fp8 dynamic config variant)
     return "fp8"
 

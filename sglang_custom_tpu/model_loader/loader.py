@@ -105,6 +105,40 @@ def _apply_quantization(staging, shardings, method: str, group_size: int,
     return staging, shardings
 
 
+def _check_coverage(key_map: dict, written: set) -> None:
+    """Fail loudly when a mapped destination never received a checkpoint
+    tensor (round-3 advisor high finding: zero-filled projections served as
+    garbage). Norm destinations warn instead — load_weights coerces them to
+    identity, the correct behavior for EAGLE-style drafts that drop them."""
+    expected = set()
+    for entries in key_map.values():
+        if not isinstance(entries, list):
+            entries = [entries]
+        for entry in entries:
+            path, idx = entry[0], entry[1]
+            expected.add((path, idx))
+    missing = expected - written
+    if not missing:
+        return
+    hard, soft = [], []
+    for path, idx in sorted(missing, key=str):
+        leaf = path[-1]
+        tgt = f"{'/'.join(path)}[{idx}]" if idx is not None else "/".join(path)
+        (soft if "norm" in leaf else hard).append(tgt)
+    if soft:
+        logger.warning(
+            "checkpoint missing %d norm weight(s) (coerced to identity): %s",
+            len(soft), ", ".join(soft[:8]) + ("..." if len(soft) > 8 else ""),
+        )
+    if hard:
+        raise ValueError(
+            f"checkpoint left {len(hard)} mapped weight(s) unloaded — "
+            f"refusing to serve zero-filled parameters: "
+            + ", ".join(hard[:12])
+            + ("..." if len(hard) > 12 else "")
+        )
+
+
 def load_weights(
     model_path: str,
     cfg: ModelConfig,
@@ -142,6 +176,7 @@ def load_weights(
     staging = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
 
     seen = set()
+    written = set()  # (path, idx) destinations that received a tensor
     for f in files:
         # framework="pt" keeps reads host-side and handles bf16/fp16/fp32
         # checkpoints uniformly (numpy can't represent bf16; flax would place
@@ -176,6 +211,7 @@ def load_weights(
                     else:
                         # idx is a layer index, or (layer, expert) for MoE
                         dst[path[-1]][idx] = w
+                    written.add((path, idx))
                 seen.add(name)
 
     if (
@@ -185,6 +221,14 @@ def load_weights(
         if not cfg.tie_word_embeddings:
             logger.warning("lm_head missing and embeddings not tied; tying anyway")
         staging["lm_head"][...] = staging["embed"].T
+        written.add((("lm_head",), None))
+
+    # Coverage check: every destination the key map declares must have
+    # received a checkpoint tensor. Serving zero-filled projections is a
+    # silent-garbage failure (round-3 advisor, high); missing NORM leaves
+    # only warn — they are coerced to identity below, which is the correct
+    # handling for checkpoints that legitimately drop them (EAGLE drafts).
+    _check_coverage(key_map, written)
 
     # Norm weights never shipped in the checkpoint (e.g. EAGLE drafts drop
     # the first input_layernorm) must be identity, not the zero staging init.
@@ -378,6 +422,99 @@ def _load_prequantized(
     return _put_tree(staging, shardings, dtype)
 
 
+def _load_dummy_quantized(
+    cfg, shapes, shardings, mesh_ctx, dtype, seed: int, method: str
+) -> dict:
+    """Dummy weights with quantized leaves synthesized directly in their
+    final layout (matching quantize_w4a16/fp8/int8/fp8_blockwise output
+    shapes exactly) — same executables as a real quantized load, minutes
+    less host time."""
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    rng = np.random.Generator(np.random.SFC64(seed))
+    fblock = (rng.standard_normal(1 << 20, dtype=np.float32) * 0.02).astype(
+        np_dtype
+    )
+    ublock = rng.integers(0, 256, size=1 << 20, dtype=np.uint8)
+    # e4m3 block cast from small floats: stays finite (no 0x7f NaN patterns)
+    f8block = (
+        rng.standard_normal(1 << 20, dtype=np.float32) * 8.0
+    ).astype(np.dtype("float8_e4m3fn"))
+    i8block = rng.integers(-127, 128, size=1 << 20, dtype=np.int8)
+
+    def tile(block, shape):
+        n = int(np.prod(shape))
+        reps = -(-n // block.size)
+        return np.tile(block, reps)[:n].reshape(shape)
+
+    def synth_q(shape):
+        lead, (K, N) = tuple(shape[:-2]), shape[-2:]
+        if method == "w4a16":
+            G = min(cfg.quant_group_size, K)
+            return {
+                "qweight": tile(ublock, lead + (K // 2, N)),
+                "scales": np.full(lead + (K // G, N), 0.004, np.float32),
+                "zeros": np.full(lead + (K // G, N), -0.03, np.float32),
+            }
+        if method == "fp8":
+            return {
+                "qweight": tile(f8block, lead + (K, N)),
+                "scales": np.full(lead + (N,), 0.02 / 8.0, np.float32),
+            }
+        if method == "int8":
+            return {
+                "qweight": tile(i8block, lead + (K, N)),
+                "scales": np.full(lead + (N,), 0.02 / 127.0, np.float32),
+            }
+        # fp8_block (blockwise_fp8.quantize_fp8_blockwise layout)
+        B = min(128, K, N)
+        return {
+            "qweight": tile(f8block, lead + (K, N)),
+            "scales": np.full(
+                lead + (K // B, N // B), 0.02 / 8.0, np.float32
+            ),
+        }
+
+    out = {}
+    for key, node in shapes.items():
+        if key == "layers":
+            lsh = {}
+            for name, s in node.items():
+                if name in QUANTIZABLE:
+                    q = synth_q(s.shape)
+                    qsh = _quant_shardings(
+                        q, shardings["layers"][name], mesh_ctx
+                    )
+                    lsh[name] = {
+                        k: jax.device_put(v, qsh[k]) for k, v in q.items()
+                    }
+                else:
+                    w = (
+                        np.ones(s.shape, np_dtype)
+                        if "norm" in name
+                        else tile(fblock, s.shape)
+                    )
+                    lsh[name] = jax.device_put(
+                        w, shardings["layers"][name]
+                    )
+            out["layers"] = lsh
+        else:
+            sub_shapes = {key: node}
+            sub_sh = {key: shardings[key]}
+            leaves, treedef = jax.tree_util.tree_flatten_with_path(sub_shapes)
+            sh_leaves = jax.tree.flatten(sub_sh)[0]
+            vals = []
+            for (p, s), sh in zip(leaves, sh_leaves):
+                nm = "/".join(str(getattr(x, "key", x)) for x in p)
+                w = (
+                    np.ones(s.shape, np_dtype)
+                    if "norm" in nm
+                    else tile(fblock, s.shape)
+                )
+                vals.append(jax.device_put(w, sh))
+            out.update(jax.tree_util.tree_unflatten(treedef, vals))
+    return out
+
+
 def load_dummy_weights(
     cfg: ModelConfig,
     mesh_ctx: MeshContext,
@@ -394,26 +531,14 @@ def load_dummy_weights(
     shardings = model.param_shardings(cfg, mesh_ctx)
 
     if quantization in ("w4a16", "fp8", "fp8_block", "int8"):
-        np_dtype = np.dtype(jnp.dtype(dtype).name)
-        rng = np.random.Generator(np.random.SFC64(seed))
-        block = (rng.standard_normal(1 << 20, dtype=np.float32) * 0.02)
-
-        def gen(path, s):
-            name = "/".join(str(getattr(p, "key", p)) for p in path)
-            if "norm" in name:
-                return np.ones(s.shape, np.float32)
-            n = int(np.prod(s.shape))
-            reps = -(-n // block.size)
-            return np.tile(block, reps)[:n].reshape(s.shape)
-
-        path_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
-        staging = jax.tree_util.tree_unflatten(
-            treedef, [gen(p, s) for p, s in path_leaves]
+        # Synthesize the quantized leaves DIRECTLY (same shapes/dtypes as
+        # quantize_* would emit) instead of generating ~4 bytes/param of
+        # fp32 floats and quantizing them on the host: on the 2-vCPU bench
+        # host the float path took 4+ minutes and ~29 GB RSS for Llama-3-8B
+        # — most of the round-3 w4a16_8b bench's setup timeout.
+        return _load_dummy_quantized(
+            cfg, shapes, shardings, mesh_ctx, dtype, seed, quantization
         )
-        staging, shardings = _apply_quantization(
-            staging, shardings, quantization, cfg.quant_group_size, mesh_ctx
-        )
-        return _put_tree(staging, shardings, dtype)
     path_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
     keys = list(jax.random.split(jax.random.PRNGKey(seed), len(path_leaves)))
 

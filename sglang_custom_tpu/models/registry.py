@@ -57,7 +57,11 @@ MODEL_REGISTRY: Dict[str, types.ModuleType] = {
     "LlamaForSequenceClassification": classify,
     "Qwen2ForSequenceClassification": classify,
     "Qwen2ForRewardModel": classify,
-    "InternLM2ForRewardModel": classify,
+    # InternLM2ForRewardModel is intentionally NOT registered: InternLM2
+    # checkpoints use tok_embeddings / attention.wqkv (kv-group-interleaved
+    # fused qkv) / feed_forward.w1-w3 names that the llama key map cannot
+    # express; registering it would silently serve zero weights (round-3
+    # advisor finding). Add it back only with a real InternLM2 key map.
 }
 
 

@@ -56,18 +56,52 @@ def test_classification_scores_match_hf(ckpt):
 
 
 def test_reward_model_key_map():
-    """v_head.weight (reward-model convention) maps onto the score head."""
+    """Qwen2ForRewardModel maps the nn.Sequential score.0/score.2 MLP head
+    (reference: qwen2_rm.py:44-48); linear classifiers keep score/v_head."""
     from sglang_custom_tpu.config.model_config import ModelConfig
     from sglang_custom_tpu.models import classify
 
-    cfg = ModelConfig(
-        architecture="Qwen2ForRewardModel", vocab_size=128,
-        hidden_size=32, num_layers=1, num_q_heads=2, num_kv_heads=1,
-        head_dim=16, intermediate_size=64, rms_norm_eps=1e-6,
+    kw = dict(
+        vocab_size=128, hidden_size=32, num_layers=1, num_q_heads=2,
+        num_kv_heads=1, head_dim=16, intermediate_size=64, rms_norm_eps=1e-6,
         rope_theta=1e4, max_position_embeddings=128, num_labels=1,
     )
+    cfg = ModelConfig(architecture="Qwen2ForRewardModel", **kw)
     m = classify.hf_key_map(cfg)
-    assert m["score.weight"] == (("score_head",), None, True)
-    assert m["v_head.weight"] == (("score_head",), None, True)
+    assert m["score.0.weight"] == (("score_w0",), None, True)
+    assert m["score.2.weight"] == (("score_head",), None, True)
+    assert "score.weight" not in m  # would silently shadow the MLP head
     shapes = classify.param_shapes(cfg)
+    assert shapes["score_w0"].shape == (32, 32)
     assert shapes["score_head"].shape == (32, 1)
+
+    lin = ModelConfig(architecture="LlamaForSequenceClassification", **kw)
+    ml = classify.hf_key_map(lin)
+    assert ml["score.weight"] == (("score_head",), None, True)
+    assert ml["v_head.weight"] == (("score_head",), None, True)
+
+
+def test_reward_mlp_head_matches_torch():
+    """pooled_head with the MLP params reproduces the reference head:
+    Linear -> ReLU -> Linear (qwen2_rm.py forward)."""
+    import numpy as np
+    import torch
+
+    from sglang_custom_tpu.models.classify import pooled_head
+
+    H, n, B = 32, 1, 4
+    torch.manual_seed(0)
+    seq = torch.nn.Sequential(
+        torch.nn.Linear(H, H), torch.nn.ReLU(), torch.nn.Linear(H, n)
+    ).float()
+    pooled = torch.randn(B, H)
+    want = seq(pooled).detach().numpy()
+
+    params = {
+        "score_w0": seq[0].weight.detach().numpy().T,
+        "score_b0": seq[0].bias.detach().numpy(),
+        "score_head": seq[2].weight.detach().numpy().T,
+        "score_bias": seq[2].bias.detach().numpy(),
+    }
+    got = np.asarray(pooled_head(params, pooled.numpy()))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
