@@ -15,6 +15,8 @@
 #include <csignal>
 #include <cstdio>
 #include <deque>
+#include <map>
+#include <memory>
 #include <mutex>
 #include <sstream>
 #include <thread>
@@ -259,6 +261,41 @@ static bool probe_health(const std::string& url) {
   return ok;
 }
 
+// Full (non-streamed) HTTP exchange with a worker: returns false on
+// connect/send failure; *status / *resp_body hold the parsed response.
+static bool request_full(const std::string& url, const std::string& method,
+                         const std::string& path, const std::string& body,
+                         int* status, std::string* resp_body) {
+  std::string host;
+  int port;
+  if (!parse_url(url, &host, &port)) return false;
+  int fd = connect_to(host, port);
+  if (fd < 0) return false;
+  std::ostringstream os;
+  os << method << " " << path << " HTTP/1.1\r\nHost: " << host
+     << "\r\nContent-Type: application/json\r\nContent-Length: "
+     << body.size() << "\r\nConnection: close\r\n\r\n"
+     << body;
+  if (!send_all(fd, os.str())) {
+    ::close(fd);
+    return false;
+  }
+  std::string raw;
+  char buf[16384];
+  while (true) {
+    ssize_t n = ::recv(fd, buf, sizeof(buf), 0);
+    if (n <= 0) break;
+    raw.append(buf, size_t(n));
+  }
+  ::close(fd);
+  auto hdr_end = raw.find("\r\n\r\n");
+  if (hdr_end == std::string::npos) return false;
+  auto sp = raw.find(' ');
+  *status = (sp != std::string::npos) ? std::atoi(raw.c_str() + sp + 1) : 0;
+  *resp_body = raw.substr(hdr_end + 4);
+  return true;
+}
+
 static std::string json_field(const std::string& body, const std::string& key) {
   // naive "key": "value" extraction (control endpoints only)
   auto k = body.find("\"" + key + "\"");
@@ -272,8 +309,115 @@ static std::string json_field(const std::string& body, const std::string& key) {
   return body.substr(q0 + 1, q1 - q0 - 1);
 }
 
+static std::string json_num_field(const std::string& body,
+                                  const std::string& key) {
+  auto k = body.find("\"" + key + "\"");
+  if (k == std::string::npos) return "";
+  auto colon = body.find(':', k);
+  if (colon == std::string::npos) return "";
+  size_t i = colon + 1;
+  while (i < body.size() && (body[i] == ' ' || body[i] == '\t')) i++;
+  size_t j = i;
+  while (j < body.size() && (isdigit(body[j]) || body[j] == '-')) j++;
+  return body.substr(i, j - i);
+}
+
 static Router* g_router = nullptr;
 static std::atomic<uint64_t> g_rid{0};
+
+// ---------------------------------------------------- PD disaggregation
+// C++ port of the pairing router (reference: sgl-router/src/routers/
+// pd_router.rs select_worker_pair + bootstrap-room injection; the Python
+// prototype is disaggregation/mini_lb.py). Prefill and decode worker
+// fleets get independent Routers (policy + health + metrics each); a
+// /generate request picks one worker per side, injects a bootstrap room
+// and the decode side's KV rendezvous address into the prefill call,
+// then returns the decode side's response.
+static Router* g_pd_prefill = nullptr;
+static Router* g_pd_decode = nullptr;
+static std::mutex g_kv_mu;
+static std::map<std::string, std::pair<std::string, int>> g_kv_addr;
+
+static bool discover_kv(const std::string& decode_url, std::string* host,
+                        int* port) {
+  {
+    std::lock_guard<std::mutex> lk(g_kv_mu);
+    auto it = g_kv_addr.find(decode_url);
+    if (it != g_kv_addr.end()) {
+      *host = it->second.first;
+      *port = it->second.second;
+      return true;
+    }
+  }
+  int status = 0;
+  std::string body;
+  if (!request_full(decode_url, "GET", "/get_server_info", "", &status,
+                    &body) ||
+      status != 200)
+    return false;
+  *host = json_field(body, "kv_host");
+  std::string p = json_num_field(body, "kv_port");
+  if (host->empty() || p.empty()) return false;
+  *port = std::atoi(p.c_str());
+  std::lock_guard<std::mutex> lk(g_kv_mu);
+  g_kv_addr[decode_url] = {*host, *port};
+  return true;
+}
+
+static void handle_pd_generate(int fd, const HttpRequest& req) {
+  std::string p_url = g_pd_prefill->begin_request(req.body);
+  std::string d_url = g_pd_decode->begin_request(req.body);
+  auto fail = [&](int code, const std::string& msg, bool p_open,
+                  bool d_open) {
+    RequestMetrics m;
+    m.start_time = m.end_time = now_s();
+    m.ok = false;
+    if (p_open) g_pd_prefill->end_request(p_url, m, "");
+    if (d_open) g_pd_decode->end_request(d_url, m, "");
+    send_response(fd, code, "{\"error\": \"" + msg + "\"}");
+  };
+  if (p_url.empty() || d_url.empty())
+    return fail(503, "no healthy PD worker pair", !p_url.empty(),
+                !d_url.empty());
+  std::string kv_host;
+  int kv_port = 0;
+  if (!discover_kv(d_url, &kv_host, &kv_port))
+    return fail(502, "decode worker kv discovery failed", true, true);
+
+  std::string room = "pd-" + std::to_string(g_rid++);
+  // splice room + kv rendezvous into the client's JSON object body
+  auto brace = req.body.find('{');
+  if (brace == std::string::npos)
+    return fail(400, "body must be a JSON object", true, true);
+  std::string pbody = "{\"room\": \"" + room + "\", \"kv_host\": \"" +
+                      kv_host + "\", \"kv_port\": " +
+                      std::to_string(kv_port) + ", " +
+                      req.body.substr(brace + 1);
+
+  RequestMetrics pm;
+  pm.start_time = now_s();
+  int status = 0;
+  std::string resp;
+  bool ok = request_full(p_url, "POST", "/pd_prefill", pbody, &status,
+                         &resp) &&
+            status == 200;
+  pm.end_time = now_s();
+  pm.ok = ok;
+  g_pd_prefill->end_request(p_url, pm, room);
+  if (!ok) return fail(502, "prefill worker error", false, true);
+
+  RequestMetrics dm;
+  dm.start_time = now_s();
+  HttpRequest dreq;
+  dreq.method = "POST";
+  dreq.path = "/pd_generate";
+  dreq.body = "{\"room\": \"" + room + "\"}";
+  ok = proxy_request(d_url, dreq, fd);  // stream decode response back
+  dm.end_time = now_s();
+  dm.ok = ok;
+  g_pd_decode->end_request(d_url, dm, room);
+  if (!ok) send_response(fd, 502, "{\"error\": \"decode worker error\"}");
+}
 
 static void handle_conn(int fd) {
   HttpRequest req;
@@ -300,11 +444,23 @@ static void handle_conn(int fd) {
     send_response(fd, g_router->remove_worker(url) ? 200 : 404,
                   "{\"status\": \"done\"}");
   } else if (req.path == "/get_loads") {
-    send_response(fd, 200, g_router->get_loads());
+    if (g_pd_prefill) {
+      send_response(fd, 200,
+                    "{\"prefill\": " + g_pd_prefill->get_loads() +
+                        ", \"decode\": " + g_pd_decode->get_loads() + "}");
+    } else {
+      send_response(fd, 200, g_router->get_loads());
+    }
   } else if (req.path == "/metrics") {
-    send_response(fd, 200, g_router->metrics(), "text/plain");
+    std::string m = g_router ? g_router->metrics() : "";
+    if (g_pd_prefill) m += g_pd_prefill->metrics() + g_pd_decode->metrics();
+    send_response(fd, 200, m, "text/plain");
   } else if (req.path == "/request_traces") {
-    send_response(fd, 200, g_router->traces());
+    send_response(fd, 200,
+                  g_pd_decode ? g_pd_decode->traces() : g_router->traces());
+  } else if (g_pd_prefill != nullptr) {
+    // PD mode: every inference request runs the pair flow
+    handle_pd_generate(fd, req);
   } else {
     // proxy everything else to a worker chosen by the policy
     std::string url = g_router->begin_request(req.body);
@@ -332,7 +488,7 @@ int main(int argc, char** argv) {
   using namespace router;
   int port = 8000;
   std::string policy_name = "round_robin";
-  std::vector<std::string> workers;
+  std::vector<std::string> workers, prefill_workers, decode_workers;
   std::vector<double> probs;
   size_t trace_cap = 1000;
   int health_ms = 5000;  // 0 disables active health checks
@@ -345,6 +501,8 @@ int main(int argc, char** argv) {
     if (a == "--port") port = std::stoi(next());
     else if (a == "--policy") policy_name = next();
     else if (a == "--worker") workers.push_back(next());
+    else if (a == "--prefill-worker") prefill_workers.push_back(next());
+    else if (a == "--decode-worker") decode_workers.push_back(next());
     else if (a == "--trace-capacity") trace_cap = std::stoul(next());
     else if (a == "--health-interval-ms") health_ms = std::stoi(next());
     else if (a == "--health-fail-threshold")
@@ -355,6 +513,11 @@ int main(int argc, char** argv) {
       while (std::getline(ps, tok, ',')) probs.push_back(std::stod(tok));
     }
   }
+  bool pd_mode = !prefill_workers.empty() || !decode_workers.empty();
+  if (pd_mode && (prefill_workers.empty() || decode_workers.empty())) {
+    fprintf(stderr, "PD mode needs BOTH --prefill-worker and --decode-worker\n");
+    return 1;
+  }
   auto policy = make_policy(policy_name, probs);
   if (!policy) {
     fprintf(stderr, "unknown policy %s\n", policy_name.c_str());
@@ -364,11 +527,33 @@ int main(int argc, char** argv) {
   g_router = &router_obj;
   for (auto& w : workers) router_obj.add_worker(w);
 
+  // PD pairing mode (reference: pd_router.rs) — each side gets its own
+  // least-outstanding selector, independent of --policy.
+  std::unique_ptr<Router> pd_p, pd_d;
+  if (pd_mode) {
+    pd_p = std::make_unique<Router>(make_policy("shortest_queue", probs),
+                                    trace_cap);
+    pd_d = std::make_unique<Router>(make_policy("shortest_queue", probs),
+                                    trace_cap);
+    for (auto& w : prefill_workers) pd_p->add_worker(w);
+    for (auto& w : decode_workers) pd_d->add_worker(w);
+    g_pd_prefill = pd_p.get();
+    g_pd_decode = pd_d.get();
+  }
+
   if (health_ms > 0) {
     std::thread([health_ms, health_threshold]() {
       while (true) {
         for (auto& url : g_router->worker_urls())
           g_router->record_probe(url, probe_health(url), health_threshold);
+        if (g_pd_prefill) {
+          for (auto& url : g_pd_prefill->worker_urls())
+            g_pd_prefill->record_probe(url, probe_health(url),
+                                       health_threshold);
+          for (auto& url : g_pd_decode->worker_urls())
+            g_pd_decode->record_probe(url, probe_health(url),
+                                      health_threshold);
+        }
         std::this_thread::sleep_for(std::chrono::milliseconds(health_ms));
       }
     }).detach();

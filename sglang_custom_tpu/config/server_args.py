@@ -135,6 +135,12 @@ class ServerArgs:
     # top-k children per tree node (reference: --speculative-eagle-topk);
     # 1 = chain drafting
     speculative_eagle_topk: int = 1
+    # BENCH-ONLY: force every draft node on the deepest path to be
+    # "accepted" so spec throughput is measurable with dummy weights
+    # (reference analog: SIMULATE_ACC_LEN env in srt/speculative/
+    # eagle_worker.py). Output tokens are NOT model-correct under this
+    # flag; never enable it in serving.
+    speculative_simulate_acc: bool = False
 
     # Testing / dev
     device: str = "auto"               # auto | tpu | cpu

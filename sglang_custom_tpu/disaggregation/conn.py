@@ -58,6 +58,8 @@ class FakeKVTransfer:
     """In-process loopback transfer (reference: disaggregation/fake/conn.py
     — stubs the RDMA backend so PD scheduling is testable on one host)."""
 
+    CHUNK_PAGES = 8
+
     def __init__(self):
         self._store: Dict[str, KVPayload] = {}
         self._status: Dict[str, KVPoll] = {}
@@ -69,6 +71,13 @@ class FakeKVTransfer:
             self._store[room] = payload
             self._status[room] = KVPoll.SUCCESS
             self._cv.notify_all()
+
+    def open_stream(self, room: str, *, input_ids, page_size, kv_shape,
+                    kv_dtype) -> "_FakeStream":
+        with self._cv:
+            self._status[room] = KVPoll.TRANSFERRING
+        return _FakeStream(self, room, input_ids, page_size, kv_shape,
+                           kv_dtype)
 
     def poll(self, room: str) -> KVPoll:
         with self._cv:
@@ -82,6 +91,49 @@ class FakeKVTransfer:
                 self._status[room] = KVPoll.FAILED
                 raise TimeoutError(f"KV transfer for room {room} timed out")
             return self._store.pop(room)
+
+
+class _FakeStream:
+    """Loopback analog of KVStream: accumulates chunks in memory and
+    publishes the payload at end()."""
+
+    def __init__(self, xfer, room, input_ids, page_size, kv_shape,
+                 kv_dtype):
+        self._xfer = xfer
+        self.room = room
+        self._input_ids = list(input_ids)
+        self._page_size = page_size
+        self._kv = np.zeros(kv_shape, np.dtype(kv_dtype))
+        cp = xfer.CHUNK_PAGES
+        n = int(kv_shape[0]) if len(kv_shape) else 0
+        self.n_chunks = -(-n // cp) if n else 0
+        self.sent = 0
+
+    def send_chunk(self, idx: int, pages: np.ndarray) -> None:
+        assert idx == self.sent, (idx, self.sent)
+        lo = idx * self._xfer.CHUNK_PAGES
+        self._kv[lo : lo + pages.shape[0]] = pages
+        self.sent += 1
+
+    def end(self, *, first_token: int, sampling_params=None,
+            rid=None) -> None:
+        assert self.sent == self.n_chunks, (self.sent, self.n_chunks)
+        self._xfer.send(
+            self.room,
+            KVPayload(
+                input_ids=self._input_ids,
+                first_token=int(first_token),
+                kv_pages=self._kv,
+                page_size=self._page_size,
+                sampling_params=dict(sampling_params or {}),
+                rid=rid,
+            ),
+        )
+
+    def abort(self) -> None:
+        with self._xfer._cv:
+            self._xfer._status[self.room] = KVPoll.FAILED
+            self._xfer._cv.notify_all()
 
 
 def _send_msg(sock: socket.socket, obj) -> None:
@@ -174,14 +226,24 @@ class TCPKVReceiver:
                     kv[lo : lo + arr.shape[0]] = arr
                     with self._cv:
                         self._progress[room] = (i + 1, header["n_chunks"])
-                assert _recv_msg(conn)[0] == "end"
+                end = _recv_msg(conn)
+                assert end[0] == "end"
+                # Streaming prefill-overlap senders don't know the first
+                # sampled token at connection time — it rides the "end"
+                # message (reference analog: per-layer transfer finishing
+                # before the prefill's logits, disaggregation/prefill.py).
+                tail = end[1] if len(end) > 1 else {}
                 payload = KVPayload(
                     input_ids=header["input_ids"],
-                    first_token=header["first_token"],
+                    first_token=tail.get(
+                        "first_token", header.get("first_token")
+                    ),
                     kv_pages=kv,
                     page_size=header["page_size"],
-                    sampling_params=header["sampling_params"],
-                    rid=header.get("rid"),
+                    sampling_params=tail.get(
+                        "sampling_params", header.get("sampling_params", {})
+                    ),
+                    rid=tail.get("rid", header.get("rid")),
                 )
                 with self._cv:
                     self._store[room] = payload
@@ -251,32 +313,105 @@ class TCPKVSender:
         kv = np.ascontiguousarray(payload.kv_pages)
         n = kv.shape[0]
         cp = self.CHUNK_PAGES
-        n_chunks = -(-n // cp) if n else 0
+        stream = self.open_stream(
+            room,
+            input_ids=payload.input_ids,
+            page_size=payload.page_size,
+            kv_shape=kv.shape,
+            kv_dtype=kv.dtype.str,
+        )
+        try:
+            for i in range(stream.n_chunks):
+                stream.send_chunk(i, kv[i * cp : (i + 1) * cp])
+            stream.end(
+                first_token=payload.first_token,
+                sampling_params=payload.sampling_params,
+                rid=payload.rid,
+            )
+        except Exception:
+            stream.abort()
+            raise
+
+    def open_stream(self, room: str, *, input_ids, page_size, kv_shape,
+                    kv_dtype) -> "KVStream":
+        """Open a chunked stream whose tail metadata (first token) arrives
+        with end() — lets the prefill side start shipping whole pages
+        while the rest of the prompt is still computing (prefill-overlap
+        transfer; reference: per-layer kv transfer launched during prefill
+        compute, csrc/kvcacheio/transfer.cu + disaggregation/prefill.py:260
+        — here the overlap unit is the chunked-prefill token chunk, the
+        natural granularity when the whole layer stack runs in one fused
+        XLA program)."""
+        cp = self.CHUNK_PAGES
+        n = int(kv_shape[0]) if len(kv_shape) else 0
         header = {
-            "input_ids": payload.input_ids,
-            "first_token": payload.first_token,
-            "page_size": payload.page_size,
-            "sampling_params": payload.sampling_params,
-            "rid": payload.rid,
-            "kv_shape": kv.shape,
-            "kv_dtype": kv.dtype.str,
-            "n_chunks": n_chunks,
+            "input_ids": list(input_ids),
+            "page_size": page_size,
+            "kv_shape": tuple(kv_shape),
+            "kv_dtype": kv_dtype,
+            "n_chunks": -(-n // cp) if n else 0,
             "chunk_pages": cp,
         }
         self._set(room, KVPoll.BOOTSTRAPPING)
         try:
-            with socket.create_connection(
-                (self.host, self.port), timeout=30
-            ) as s:
-                _send_msg(s, ("hello", room, header))
-                assert _recv_msg(s) == "ok"
-                self._set(room, KVPoll.TRANSFERRING)
-                for i in range(n_chunks):
-                    chunk = kv[i * cp : (i + 1) * cp]
-                    _send_msg(s, ("chunk", i, chunk.tobytes()))
-                _send_msg(s, ("end",))
-                assert _recv_msg(s) == "ok"
-            self._set(room, KVPoll.SUCCESS)
+            s = socket.create_connection((self.host, self.port), timeout=30)
+            _send_msg(s, ("hello", room, header))
+            assert _recv_msg(s) == "ok"
         except Exception:
             self._set(room, KVPoll.FAILED)
             raise
+        self._set(room, KVPoll.TRANSFERRING)
+        return KVStream(self, room, s, header["n_chunks"])
+
+
+class KVStream:
+    """One in-flight chunked PD transfer (sender side)."""
+
+    def __init__(self, sender: TCPKVSender, room: str, sock, n_chunks: int):
+        self._sender = sender
+        self.room = room
+        self._sock = sock
+        self.n_chunks = n_chunks
+        self.sent = 0
+
+    def send_chunk(self, idx: int, pages: np.ndarray) -> None:
+        assert idx == self.sent, (idx, self.sent)
+        try:
+            _send_msg(
+                self._sock,
+                ("chunk", idx, np.ascontiguousarray(pages).tobytes()),
+            )
+        except Exception:
+            self.abort()
+            raise
+        self.sent += 1
+
+    def end(self, *, first_token: int, sampling_params=None,
+            rid=None) -> None:
+        assert self.sent == self.n_chunks, (self.sent, self.n_chunks)
+        try:
+            _send_msg(
+                self._sock,
+                ("end", {
+                    "first_token": int(first_token),
+                    "sampling_params": dict(sampling_params or {}),
+                    "rid": rid,
+                }),
+            )
+            assert _recv_msg(self._sock) == "ok"
+            self._sender._set(self.room, KVPoll.SUCCESS)
+        except Exception:
+            self.abort()
+            raise
+        finally:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+
+    def abort(self) -> None:
+        self._sender._set(self.room, KVPoll.FAILED)
+        try:
+            self._sock.close()
+        except OSError:
+            pass

@@ -670,70 +670,145 @@ class Engine:
         sampling_params: Optional[Dict] = None,
     ) -> Dict[str, Any]:
         """Prefill-server half of PD disaggregation (reference:
-        disaggregation/prefill.py:260 SchedulerDisaggregationPrefillMixin):
-        prefill the prompt, sample the first token, push the page-aligned
-        prompt KV + continuation metadata to the decode side."""
-        import jax.numpy as jnp
-
-        from sglang_custom_tpu.disaggregation.conn import KVPayload
-        from sglang_custom_tpu.mem_cache.memory_pool import _pow2, _gather_pages_jit
-
-        sp = dict(sampling_params or {})
-        out = self.generate(
-            input_ids=input_ids,
-            sampling_params={**sp, "max_new_tokens": 1},
-        )
-        first_token = out["output_ids"][0]
-        # Extract the prompt's KV pages: match + lock + DISPATCH the gather
-        # on the scheduler thread (the dispatch is cheap and enqueue-ordered
-        # against later steps, so the pages may be evicted/rewritten after
-        # — the gather reads the pre-step bytes). The expensive D2H wait
-        # and the chunked network stream run on the transfer worker; the
-        # scheduler never stops (round-2 VERDICT weak #8: pd_prefill paused
-        # the world for the whole blocking transfer).
-        done = {}
-
-        def stage():
-            # On the scheduler thread: nothing can free/rewrite the matched
-            # pages between the match and the gather DISPATCH, and once
-            # enqueued the gather reads the pre-step bytes regardless of
-            # later eviction (in-order device execution).
-            tree = self.scheduler.tree_cache
-            m = tree.match_prefix(list(input_ids))
-            n = len(m.pages)
-            padded = list(m.pages) + [0] * (_pow2(max(n, 1)) - n)
-            done["n"] = n
-            done["out"] = _gather_pages_jit(
-                self.runner.kv_pool.kv, jnp.asarray(padded, jnp.int32)
-            )
-            done["evt"].set()
-
+        disaggregation/prefill.py:260 SchedulerDisaggregationPrefillMixin +
+        per-layer transfer overlap, csrc/kvcacheio/transfer.cu): whole KV
+        pages start streaming to the decode side WHILE the rest of the
+        prompt is still prefilling. The overlap unit is the chunked-prefill
+        token chunk — on TPU the entire layer stack runs inside one fused
+        executable per chunk, so a chunk's pages are the first stable
+        transfer granule. Pages gathered while the request runs are
+        lock-protected (no eviction race); the sampled first token rides
+        the stream's end() message."""
         import threading
 
-        done["evt"] = threading.Event()
-        self.scheduler_thread.post(stage)
-        assert done["evt"].wait(60), "pd gather dispatch timed out"
-        n = done["n"]
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sglang_custom_tpu.mem_cache.memory_pool import (
+            _gather_pages_jit,
+            _pow2,
+        )
+
+        sp = dict(sampling_params or {})
+        input_ids = list(input_ids)
+        ps = self.server_args.page_size
+        n_total = len(input_ids) // ps
+        pool = self.runner.kv_pool
+        page_shape = (
+            pool.kv.shape[0], pool.kv.shape[1], pool.kv.shape[3],
+            pool.kv.shape[4],
+        )
+        kv_dtype = np.asarray(jnp.zeros((), pool.kv.dtype)).dtype.str
+
+        state = self._submit(
+            [input_ids], [{**sp, "max_new_tokens": 1}]
+        )[0]
+        req = state.req
+        prefill_done = threading.Event()
+        result = {"first_token": None, "rid": None}
+        stats = {"chunks_before_first_token": 0, "n_chunks": 0}
+
+        def gather(page_ids):
+            """Dispatch a page gather ON the scheduler thread (enqueue-
+            ordered against steps; in-order device execution makes the
+            read race-free), wait on the transfer worker."""
+            done = {"evt": threading.Event()}
+
+            def g():
+                padded = list(page_ids) + [0] * (
+                    _pow2(max(len(page_ids), 1)) - len(page_ids)
+                )
+                done["out"] = _gather_pages_jit(
+                    self.runner.kv_pool.kv, jnp.asarray(padded, jnp.int32)
+                )
+                done["evt"].set()
+
+            self.scheduler_thread.post(g)
+            assert done["evt"].wait(60), "pd gather dispatch timed out"
+            return np.moveaxis(np.asarray(done["out"]), 2, 0)[
+                : len(page_ids)
+            ]
+
+        def tail_gather(n_sent):
+            """Remaining pages after the request finished: its page_list
+            is cleared on finish (scheduler.py cache_finished_req), but
+            the pages now live in the radix tree — ONE posted match +
+            gather is atomic w.r.t. eviction and step ordering."""
+            done = {"evt": threading.Event()}
+
+            def g():
+                m = self.scheduler.tree_cache.match_prefix(input_ids)
+                page_ids = m.pages[n_sent * sender.CHUNK_PAGES : n_total]
+                padded = list(page_ids) + [0] * (
+                    _pow2(max(len(page_ids), 1)) - len(page_ids)
+                )
+                done["n"] = len(page_ids)
+                done["out"] = _gather_pages_jit(
+                    self.runner.kv_pool.kv, jnp.asarray(padded, jnp.int32)
+                )
+                done["evt"].set()
+
+            self.scheduler_thread.post(g)
+            assert done["evt"].wait(60), "pd tail gather timed out"
+            return np.moveaxis(np.asarray(done["out"]), 2, 0)[: done["n"]]
 
         def transfer(op):
-            import numpy as _np
-
-            kv = _np.moveaxis(_np.asarray(done["out"]), 2, 0)[:n]
-            sender.send(
-                room,
-                KVPayload(
-                    input_ids=list(input_ids),
-                    first_token=int(first_token),
-                    kv_pages=kv,
-                    page_size=self.server_args.page_size,
-                    sampling_params=sp,
-                    rid=out["meta_info"].get("id"),
-                ),
+            stream = sender.open_stream(
+                room, input_ids=input_ids, page_size=ps,
+                kv_shape=(n_total,) + page_shape, kv_dtype=kv_dtype,
             )
+            stats["n_chunks"] = stream.n_chunks
+            cp = sender.CHUNK_PAGES
+            try:
+                pages_seen = []  # stable whole-page ids snapshotted live
+                while stream.sent < stream.n_chunks:
+                    if prefill_done.is_set():
+                        arr = tail_gather(stream.sent)
+                        for off in range(0, arr.shape[0], cp):
+                            stream.send_chunk(
+                                stream.sent, arr[off : off + cp]
+                            )
+                        break
+                    # page_list grows append-only while the request runs
+                    stable = min(req.computed_len // ps, n_total)
+                    pl_now = req.page_list
+                    if len(pages_seen) < stable and len(pl_now) >= stable:
+                        pages_seen.extend(
+                            pl_now[len(pages_seen) : stable]
+                        )
+                    sent_any = False
+                    while (
+                        stream.sent < stream.n_chunks
+                        and min((stream.sent + 1) * cp, n_total)
+                        <= len(pages_seen)
+                    ):
+                        lo = stream.sent * cp
+                        hi = min(lo + cp, n_total)
+                        arr = gather(pages_seen[lo:hi])
+                        stats["chunks_before_first_token"] += (
+                            0 if prefill_done.is_set() else 1
+                        )
+                        stream.send_chunk(stream.sent, arr)
+                        sent_any = True
+                    if not sent_any:
+                        prefill_done.wait(0.002)
+                prefill_done.wait(300)
+                stream.end(
+                    first_token=result["first_token"],
+                    sampling_params=sp, rid=result["rid"],
+                )
+            except Exception:
+                stream.abort()
+                raise
 
         self._pd_workers.submit("pd-send", transfer)
-        return {"room": room, "first_token": int(first_token),
-                "transferred_pages": n, "status": "transferring"}
+        out = self._collect_final(state)
+        result["first_token"] = int(out["output_ids"][0])
+        result["rid"] = out["meta_info"].get("id")
+        prefill_done.set()
+        return {"room": room, "first_token": result["first_token"],
+                "transferred_pages": n_total, "status": "transferring",
+                "stream": stats}
 
     def pd_transfer_status(self, room: str, sender=None) -> Dict[str, Any]:
         """Sender-side KVPoll state for a room (reference: conn.py:34)."""

@@ -1,0 +1,268 @@
+"""Quantized-vs-bf16 self-consistency gate.
+
+The BASELINE.json accuracy clause is "≤1% GSM8K drop vs FP16". This
+environment has zero egress and no real checkpoints, so GSM8K on trained
+weights cannot be measured here; this module implements the sanctioned
+fallback (VERDICT r3 "Next round" #5): a *self-consistency* gate that
+measures, through the REAL serving stack (loader -> quantized kernels ->
+paged attention -> sampler), how far a quantized engine's outputs drift
+from the bf16 engine on fixed prompts:
+
+- ``greedy_match``: fraction of greedily decoded continuations that agree
+  token-for-token with the bf16 engine (plus mean first-divergence step).
+- ``input_logprob_mae``: mean |Δ teacher-forced logprob| per token on
+  fixed sequences — a tight proxy for per-token logit KL on the realized
+  path.
+
+Reference analog: python/sglang/test/few_shot_gsm8k.py +
+test_eval_accuracy_large.py are the reference's accuracy CI; this is the
+checkpoint-free stand-in until a real checkpoint is reachable.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+
+def _make_checkpoint(path: str, seed: int = 0, hidden: int = 256,
+                     layers: int = 4, vocab: int = 2048) -> str:
+    """Random-init HF Llama checkpoint on disk (the same golden-model
+    source the test suite uses, tests/conftest.py)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(
+        vocab_size=vocab, hidden_size=hidden, intermediate_size=hidden * 4,
+        num_hidden_layers=layers, num_attention_heads=8,
+        num_key_value_heads=4, max_position_embeddings=1024,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(seed)
+    LlamaForCausalLM(cfg).to(torch.float32).save_pretrained(
+        path, safe_serialization=True
+    )
+    return path
+
+
+def _prompts(n: int, lo: int, hi: int, seed: int = 7) -> List[List[int]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        list(rng.randint(lo, hi, size=int(rng.randint(16, 64))))
+        for _ in range(n)
+    ]
+
+
+def run_gate(
+    model_path: str,
+    quantization: str = "w4a16",
+    n_prompts: int = 32,
+    gen_len: int = 48,
+    dtype: str = "bfloat16",
+    num_pages: int = 512,
+) -> dict:
+    """Serve ``model_path`` bf16 and quantized through two Engines and
+    compare. Returns the artifact dict."""
+    import numpy as np
+
+    from sglang_custom_tpu.config.model_config import ModelConfig
+    from sglang_custom_tpu.config.server_args import ServerArgs
+    from sglang_custom_tpu.entrypoints.engine import Engine
+
+    cfg = ModelConfig.from_model_path(model_path)
+    prompts = _prompts(n_prompts, 1, cfg.vocab_size - 1)
+
+    def serve(quant: Optional[str]):
+        eng = Engine(
+            server_args=ServerArgs(
+                model_path=model_path, dtype=dtype, page_size=16,
+                skip_tokenizer_init=True, context_length=1024,
+                quantization=quant,
+            ),
+            num_pages=num_pages,
+        )
+        gen = eng.generate(
+            input_ids=prompts,
+            sampling_params={
+                "max_new_tokens": gen_len, "temperature": 0.0,
+                "ignore_eos": True,
+            },
+        )
+        outs = [g["output_ids"] for g in gen]
+        # Teacher-forced logprobs of each prompt's own tokens.
+        ilp = eng.generate(
+            input_ids=prompts,
+            sampling_params={
+                "max_new_tokens": 0, "return_input_logprob": True,
+            },
+        )
+        lps = [
+            np.asarray(r["meta_info"]["input_token_logprobs"], np.float64)
+            for r in ilp
+        ]
+        eng.shutdown()
+        return outs, lps
+
+    base_out, base_lp = serve(None)
+    q_out, q_lp = serve(quantization)
+
+    matches, div_steps = 0, []
+    for b, q in zip(base_out, q_out):
+        if b == q:
+            matches += 1
+            div_steps.append(gen_len)
+        else:
+            div_steps.append(
+                next(i for i, (x, y) in enumerate(zip(b, q)) if x != y)
+            )
+    maes = []
+    for a, b in zip(base_lp, q_lp):
+        # first-position logprob is a sentinel (no context); keep only
+        # positions finite in BOTH runs
+        m = np.isfinite(a) & np.isfinite(b)
+        if m.any():
+            maes.append(float(np.mean(np.abs(a[m] - b[m]))))
+
+    logit = _logit_level_compare(
+        model_path, quantization, prompts, dtype
+    )
+    return {
+        "quantization": quantization,
+        "n_prompts": n_prompts,
+        "gen_len": gen_len,
+        "greedy_match": round(matches / n_prompts, 4),
+        "mean_first_divergence_step": round(
+            float(np.mean(div_steps)), 2
+        ),
+        "input_logprob_mae": round(float(np.mean(maes)), 5),
+        "input_logprob_mae_p95": round(
+            float(np.percentile(maes, 95)), 5
+        ),
+        **logit,
+    }
+
+
+def _logit_level_compare(model_path: str, quantization: str,
+                         prompts, dtype: str) -> dict:
+    """Per-position argmax agreement + mean logit KL between the bf16 and
+    quantized FORWARD (real loader + quantized matmuls + paged attention,
+    scheduler bypassed). Per-position metrics don't compound like greedy
+    rollouts do, so they stay meaningful on random-init checkpoints whose
+    top-2 logit gaps are tiny."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sglang_custom_tpu.config.model_config import ModelConfig
+    from sglang_custom_tpu.layers.attention.xla_backend import (
+        XlaAttentionBackend,
+    )
+    from sglang_custom_tpu.mem_cache.memory_pool import KVCachePool
+    from sglang_custom_tpu.model_executor.forward_batch import ForwardMeta
+    from sglang_custom_tpu.model_loader.loader import load_weights
+    from sglang_custom_tpu.models.registry import get_model
+    from sglang_custom_tpu.parallel.mesh import create_mesh
+
+    cfg = ModelConfig.from_model_path(model_path)
+    mesh = create_mesh(tp_size=1, dp_size=1)
+    model = get_model(cfg.architecture)
+    jdt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype]
+    backend = XlaAttentionBackend()
+    ps = 16
+
+    def logits_for(quant):
+        params = load_weights(
+            model_path, cfg, mesh, dtype=jdt, quantization=quant
+        )
+        outs = []
+        for p in prompts:
+            T = len(p)
+            n_pages = (T + ps - 1) // ps + 1
+            pool = KVCachePool.create(cfg, n_pages + 1, ps, jdt, mesh)
+            meta = ForwardMeta(
+                token_ids=jnp.asarray([p], jnp.int32),
+                positions=jnp.arange(T, dtype=jnp.int32)[None],
+                page_table=jnp.arange(1, n_pages + 1, dtype=jnp.int32)[None],
+                seq_lens=jnp.asarray([T], jnp.int32),
+                extend_lens=jnp.asarray([T], jnp.int32),
+            )
+            hidden, _ = model.forward(params, cfg, meta, pool.kv, backend)
+            lg = jnp.einsum(
+                "bth,hv->btv", hidden, params["lm_head"],
+                preferred_element_type=jnp.float32,
+            )
+            outs.append(np.asarray(lg[0], np.float64))
+        del params
+        return outs
+
+    base = logits_for(None)
+    quant = logits_for(quantization)
+    agree, kls = [], []
+    for lb, lq in zip(base, quant):
+        agree.append(float(np.mean(lb.argmax(-1) == lq.argmax(-1))))
+        pb = lb - _lse(lb)
+        pq = lq - _lse(lq)
+        kls.append(float(np.mean(np.sum(np.exp(pb) * (pb - pq), axis=-1))))
+    import numpy as _np
+
+    return {
+        "token_argmax_agreement": round(float(_np.mean(agree)), 4),
+        "logit_kl_mean_nats": round(float(_np.mean(kls)), 6),
+    }
+
+
+def _lse(x):
+    import numpy as np
+
+    m = x.max(axis=-1, keepdims=True)
+    return m + np.log(np.sum(np.exp(x - m), axis=-1, keepdims=True))
+
+
+def main(argv: Optional[List[str]] = None):
+    import argparse
+    import tempfile
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-path", default=None,
+                    help="real checkpoint dir; default: tiny random-init")
+    ap.add_argument("--out", default="ACCURACY_r04.json")
+    ap.add_argument("--methods", default="w4a16,fp8,int8")
+    ap.add_argument("--n-prompts", type=int, default=32)
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"],
+                    help="cpu forces the host platform (the axon "
+                    "sitecustomize overrides JAX_PLATFORMS)")
+    args = ap.parse_args(argv)
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    path = args.model_path or _make_checkpoint(tempfile.mkdtemp())
+    results = {}
+    for m in args.methods.split(","):
+        results[m] = run_gate(path, quantization=m,
+                              n_prompts=args.n_prompts)
+    artifact = {
+        "note": (
+            "self-consistency gate, NOT GSM8K: this environment has zero "
+            "egress and no trained checkpoints, so the BASELINE ≤1% GSM8K "
+            "clause cannot be measured here. These numbers measure "
+            "quantized-vs-bf16 drift through the full serving stack on a "
+            "random-init Llama checkpoint (loader -> quantized matmuls -> "
+            "paged attention -> greedy sampler). Run with --model-path "
+            "<real ckpt> to produce the GSM8K-capable comparison via "
+            "evals/gsm8k.py."
+        ),
+        "model": args.model_path or "tiny random-init llama (hidden=256, L=4)",
+        "results": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()

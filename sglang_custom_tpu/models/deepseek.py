@@ -358,6 +358,7 @@ def forward(
     kv_cache: jax.Array,  # [L, 1, P, ps, 2, F/2] latent pool
     attn_backend: Callable,  # unused: MLA has its own kernel path
     record_experts: bool = False,
+    return_features: bool = False,
 ):
     B, T = meta.token_ids.shape
     eps = cfg.rms_norm_eps
@@ -368,7 +369,12 @@ def forward(
     inv_freq = jnp.asarray(
         rope_inv_freq_base(cfg.qk_rope_head_dim, cfg.rope_theta)
     )
-    cos, sin = rope_cos_sin(meta.positions, inv_freq)
+    rp = (
+        meta.rope_positions
+        if meta.rope_positions is not None
+        else meta.positions
+    )
+    cos, sin = rope_cos_sin(rp, inv_freq)
 
     def dense_layer(carry, xs):
         x, kv = carry
@@ -400,6 +406,12 @@ def forward(
     )
     if record_experts:
         counts = ys
+    if return_features:
+        # PRE-final-norm hidden: the NextN/EAGLE feature stream
+        # (reference: deepseek_nextn.py hnorm consumes the target's
+        # pre-norm residual); the spec worker applies final_norm itself
+        # for the verify logits.
+        return x, new_kv
     normed = rms_norm(x, params["final_norm"], eps)
     if record_experts:
         # dense prefix layers contribute zero counts
@@ -408,6 +420,13 @@ def forward(
         )
         return normed, new_kv, full
     return normed, new_kv
+
+
+def forward_features(params, cfg, meta, kv_cache, attn_backend):
+    """PRE-final-norm hidden for speculative feature conditioning."""
+    return forward(
+        params, cfg, meta, kv_cache, attn_backend, return_features=True
+    )
 
 
 def compute_last_logits(

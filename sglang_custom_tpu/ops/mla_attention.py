@@ -74,6 +74,18 @@ def mla_paged_attention(
     q_pos = meta.positions[:, None, :, None]
     seq_l = meta.seq_lens[:, None, None, None]
     mask = (kv_pos <= q_pos) & (kv_pos < seq_l)
+    if meta.tree_mask is not None:
+        # Speculative tree verify/draft (NextN on MLA): query rows are
+        # tree nodes at linear KV slots [tree_start, tree_start+T); within
+        # that region attention follows the ancestor mask, outside it the
+        # positional mask already admits the whole prefix (reference:
+        # eagle_utils tree masks; ops/ragged_paged_attention.py tree mode).
+        tm = meta.tree_mask.astype(bool)            # [T, T]
+        rel = kv_pos - meta.tree_start[:, None, None, None]  # [B,1,1,S]
+        in_tree = (rel >= 0) & (rel < T)
+        qi = jnp.arange(T, dtype=jnp.int32)[None, None, :, None]
+        allowed = tm[qi, jnp.clip(rel, 0, T - 1)]   # [B,1,T,S]
+        mask = jnp.where(in_tree, allowed, mask & (kv_pos < meta.tree_start[:, None, None, None]))
     scores = jnp.where(mask, scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
 

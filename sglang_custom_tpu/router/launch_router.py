@@ -65,20 +65,30 @@ class RouterHandle:
 
 def launch_router(
     port: int,
-    workers: List[str],
+    workers: Optional[List[str]] = None,
     policy: str = "cache_aware",
     probs: Optional[List[float]] = None,
     trace_capacity: int = 1000,
     health_interval_ms: int = 5000,
     health_fail_threshold: int = 3,
+    prefill_workers: Optional[List[str]] = None,
+    decode_workers: Optional[List[str]] = None,
 ) -> RouterHandle:
+    """``prefill_workers``/``decode_workers`` switch the binary into PD
+    pairing mode (reference: sgl-router pd_router.rs): every inference
+    request selects a (prefill, decode) pair, injects a bootstrap room +
+    the decode side's KV rendezvous, and returns the decode response."""
     binary = build_router()
     cmd = [binary, "--port", str(port), "--policy", policy,
            "--trace-capacity", str(trace_capacity),
            "--health-interval-ms", str(health_interval_ms),
            "--health-fail-threshold", str(health_fail_threshold)]
-    for w in workers:
+    for w in workers or []:
         cmd += ["--worker", w]
+    for w in prefill_workers or []:
+        cmd += ["--prefill-worker", w]
+    for w in decode_workers or []:
+        cmd += ["--decode-worker", w]
     if probs:
         cmd += ["--probs", ",".join(str(p) for p in probs)]
     proc = subprocess.Popen(cmd)

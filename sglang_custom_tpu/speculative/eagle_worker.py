@@ -71,7 +71,11 @@ class SpecRunner:
 
         self.runner = runner
         self.server_args = server_args
-        self.algo = server_args.speculative_algorithm  # eagle | draft
+        self.algo = server_args.speculative_algorithm  # eagle | nextn | draft
+        # eagle AND nextn are feature-conditioned drafts; they differ only
+        # in the draft module body (reference: deepseek_nextn.py vs
+        # llama_eagle.py)
+        self.feature_cond = self.algo in ("eagle", "nextn")
         # Static draft tree (reference: build_eagle_tree.py; chain when
         # topk=1). num_steps = depth, num_draft_tokens = node budget.
         self.topo = build_topology(
@@ -86,12 +90,17 @@ class SpecRunner:
         self.num_draft = self.topo.max_depth  # legacy alias
         self.draft_cfg = draft_cfg
         self.draft_params = draft_params
-        self.draft_model = (
-            llama_eagle if self.algo == "eagle" else get_model(draft_cfg.architecture)
-        )
+        if self.algo == "eagle":
+            self.draft_model = llama_eagle
+        elif self.algo == "nextn":
+            from sglang_custom_tpu.models import deepseek_nextn
+
+            self.draft_model = deepseek_nextn
+        else:
+            self.draft_model = get_model(draft_cfg.architecture)
         # EAGLE drafts tie lm_head to the target when the checkpoint has none
         # (reference: llama_eagle shares weights with the target head).
-        if self.algo == "eagle" and not isinstance(
+        if self.feature_cond and not isinstance(
             runner.params.get("lm_head"), dict
         ):
             dp = dict(self.draft_params)
@@ -240,7 +249,7 @@ class SpecRunner:
         rows = jnp.arange(B)
         last_idx = jnp.maximum(meta.extend_lens - 1, 0)
 
-        if self.algo == "eagle":
+        if self.feature_cond:
             bt = jnp.where(is_final, tokens, boundary_tok)
             shifted = jnp.roll(meta.token_ids, -1, axis=1)
             shifted = shifted.at[rows, last_idx].set(bt)
@@ -288,7 +297,7 @@ class SpecRunner:
         B = meta.token_ids.shape[0]
         s = meta.positions[:, 0]          # pending-token position
         x_s = meta.token_ids[:, 0]
-        eagle = self.algo == "eagle"
+        eagle = self.feature_cond
         eps = runner.cfg.rms_norm_eps
         # Draft node region base (EAGLE's stream is shifted by one:
         # token_{t+1} with feature_t sits at draft position t).
@@ -326,7 +335,7 @@ class SpecRunner:
                     dparams, self.draft_cfg, dmeta, dkv,
                     self.spec_backend, feats_in,
                 )
-                dlogits = llama_eagle.compute_logits(dparams, dh)
+                dlogits = self.draft_model.compute_logits(dparams, dh)
             else:
                 dh, dkv = self.draft_model.forward(
                     dparams, self.draft_cfg, dmeta, dkv, self.spec_backend
@@ -372,12 +381,21 @@ class SpecRunner:
         a = jnp.zeros((B,), jnp.int32)
         alive = jnp.ones((B,), bool)
         path = [cur]
+        simulate = bool(
+            getattr(self.server_args, "speculative_simulate_acc", False)
+        )
         for _ in range(D):
             y_cur = jnp.take_along_axis(y, cur[:, None], axis=1)[:, 0]
             ch = child_table[cur]                       # [B, topk]
             ch_safe = jnp.maximum(ch, 0)
             ch_tok = jnp.take_along_axis(vtokens, ch_safe, axis=1)
-            m = (ch_tok == y_cur[:, None]) & (ch >= 0)
+            if simulate:
+                # BENCH-ONLY (speculative_simulate_acc): treat the first
+                # existing child as accepted so throughput is measurable
+                # with dummy weights (reference analog: SIMULATE_ACC_LEN).
+                m = ch >= 0
+            else:
+                m = (ch_tok == y_cur[:, None]) & (ch >= 0)
             has = m.any(axis=1)
             first = jnp.argmax(m, axis=1)
             nxt = jnp.take_along_axis(ch_safe, first[:, None], axis=1)[:, 0]
@@ -607,11 +625,15 @@ def create_spec_runner(runner, server_args, mesh_ctx):
     if not path:
         raise ValueError("speculative decoding requires a draft model path")
     draft_cfg = ModelConfig.from_model_path(path)
-    model = (
-        llama_eagle
-        if server_args.speculative_algorithm == "eagle"
-        else get_model(draft_cfg.architecture)
-    )
+    algo = server_args.speculative_algorithm
+    if algo == "eagle":
+        model = llama_eagle
+    elif algo == "nextn":
+        from sglang_custom_tpu.models import deepseek_nextn
+
+        model = deepseek_nextn
+    else:
+        model = get_model(draft_cfg.architecture)
     if server_args.load_format == "dummy":
         dparams = load_dummy_weights(
             draft_cfg, mesh_ctx, dtype=runner.dtype, model=model

@@ -274,3 +274,73 @@ def test_active_health_checks():
     finally:
         handle.shutdown()
         live.stop()
+
+
+def test_pd_pairing_e2e(tiny_llama_path):
+    """C++ router PD mode drives REAL prefill/decode engines end-to-end
+    (reference: sgl-router/src/routers/pd_router.rs select_worker_pair +
+    bootstrap-room injection; VERDICT r3 #10). The router discovers the
+    decode side's KV rendezvous via /get_server_info, injects room +
+    kv_host/kv_port into /pd_prefill, then streams /pd_generate back."""
+    import asyncio
+    import time
+
+    from sglang_custom_tpu.config.server_args import ServerArgs
+    from sglang_custom_tpu.entrypoints.engine import Engine
+    from sglang_custom_tpu.entrypoints.http_server import HttpServer, _run_app
+
+    def boot(disagg_mode=None):
+        args = ServerArgs(
+            model_path=tiny_llama_path, dtype="float32", device="cpu",
+            page_size=4, skip_tokenizer_init=True, port=_free_port(),
+            disaggregation_mode=disagg_mode,
+        )
+        engine = Engine(server_args=args, num_pages=128)
+        srv = HttpServer(engine)
+        loop = asyncio.new_event_loop()
+        started = threading.Event()
+
+        def run():
+            asyncio.set_event_loop(loop)
+            loop.run_until_complete(_run_app(srv.app, args.host, args.port))
+            started.set()
+            loop.run_forever()
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        assert started.wait(timeout=60)
+        return engine, loop, th, f"http://{args.host}:{args.port}"
+
+    prefill_e, ploop, pth, purl = boot()
+    decode_e, dloop, dth, durl = boot(disagg_mode="decode")
+    handle = None
+    try:
+        assert decode_e.kv_receiver is not None
+        prompt = [(7 * i + 3) % 400 + 2 for i in range(30)]
+        sp = {"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True}
+        expected = prefill_e.generate(input_ids=prompt, sampling_params=sp)
+
+        handle = launch_router(
+            _free_port(), policy="round_robin",
+            prefill_workers=[purl], decode_workers=[durl],
+            health_interval_ms=0,
+        )
+        status, out = _post(
+            handle.base_url + "/generate",
+            {"input_ids": prompt, "sampling_params": sp},
+        )
+        assert status == 200
+        assert out["output_ids"] == expected["output_ids"]
+
+        # Prometheus text metrics cover both fleets
+        _, metrics = _get(handle.base_url + "/metrics", raw=True)
+        assert "router_requests_total" in metrics
+        assert purl in metrics and durl in metrics
+    finally:
+        if handle is not None:
+            handle.shutdown()
+        for loop, th in ((ploop, pth), (dloop, dth)):
+            loop.call_soon_threadsafe(loop.stop)
+            th.join(timeout=5)
+        prefill_e.shutdown()
+        decode_e.shutdown()
