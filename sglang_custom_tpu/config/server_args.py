@@ -93,6 +93,12 @@ class ServerArgs:
     # round_robin, :266 shortest_queue)
     dp_balance_policy: str = "shortest_queue"
     ep_size: int = 1                   # expert axis for MoE
+    # Runtime expert-load rebalancing (reference: --enable-eplb +
+    # eplb_manager.py). 0 disables the auto loop; rebalance stays
+    # available via the /rebalance_experts RPC.
+    enable_eplb: bool = False
+    eplb_rebalance_interval_s: float = 0.0
+    eplb_min_recorded_steps: int = 8
     num_hosts: int = 1
     host_rank: int = 0
     dist_init_addr: Optional[str] = None

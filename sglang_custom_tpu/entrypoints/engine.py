@@ -171,6 +171,19 @@ class Engine:
         self._grammar_backend = None
         self._sessions: Dict[str, List[int]] = {}
         self._released = False
+        self.eplb_manager = None
+        if (
+            server_args.enable_eplb
+            and self.model_config.num_experts > 0
+            and not self._dp_serving
+        ):
+            from sglang_custom_tpu.eplb.eplb_manager import EPLBManager
+
+            self.eplb_manager = EPLBManager(
+                self,
+                rebalance_interval_s=server_args.eplb_rebalance_interval_s,
+                min_recorded_steps=server_args.eplb_min_recorded_steps,
+            )
         self.spec_runner = None
         if server_args.speculative_algorithm:
             from sglang_custom_tpu.speculative.eagle_worker import (
@@ -928,6 +941,89 @@ class Engine:
                 scheduler.tree_cache.reset()
             self.server_args.model_path = model_path
             return {"success": True, "message": "weights updated"}
+        except Exception as e:  # keep serving on the old weights
+            return {"success": False, "message": str(e)}
+        finally:
+            self.scheduler_thread.resume()
+
+    # ---------------------------------------------- EPLB (expert balance)
+
+    def start_expert_distribution_record(self) -> Dict[str, Any]:
+        """reference: /start_expert_distribution_record"""
+        if self.eplb_manager is None:
+            return {"success": False, "message": "EPLB disabled"}
+        self.eplb_manager.start_record()
+        return {"success": True}
+
+    def stop_expert_distribution_record(self) -> Dict[str, Any]:
+        if self.eplb_manager is None:
+            return {"success": False, "message": "EPLB disabled"}
+        self.eplb_manager.stop_record()
+        return {"success": True}
+
+    def dump_expert_distribution_record(self) -> Dict[str, Any]:
+        if self.eplb_manager is None:
+            return {"success": False, "message": "EPLB disabled"}
+        return {"success": True, **self.eplb_manager.dump_record()}
+
+    def rebalance_experts(self) -> Dict[str, Any]:
+        """Live expert-placement rebalance from the recorded routing load
+        (reference: eplb_manager.py rebalance; KV stays valid — the
+        permuted model computes the identical function)."""
+        if self.eplb_manager is None:
+            return {"success": False, "message": "EPLB disabled"}
+        return self.eplb_manager.rebalance()
+
+    def init_weights_update_group(
+        self, host: str = "127.0.0.1", port: int = 0
+    ) -> Dict[str, Any]:
+        """Open the trainer-push weight-update channel (reference:
+        scheduler.py:2488 init_weights_update_group — NCCL group with the
+        trainer; here a host-staged TCP receiver,
+        model_executor/weight_update.py)."""
+        from sglang_custom_tpu.model_executor.weight_update import (
+            WeightUpdateGroup,
+        )
+
+        if getattr(self, "_weight_group", None) is not None:
+            self._weight_group.close()
+        self._weight_group = WeightUpdateGroup(host=host, port=port)
+        return {
+            "success": True,
+            "host": self._weight_group.host,
+            "port": self._weight_group.port,
+        }
+
+    def update_weights_from_distributed(
+        self, timeout: float = 300.0
+    ) -> Dict[str, Any]:
+        """Apply the tensors the trainer pushed since the last update
+        (reference: scheduler.py:2493 update_weights_from_distributed).
+        Blocks until the trainer calls finish(); serving pauses only for
+        the apply, not the transfer."""
+        from sglang_custom_tpu.model_executor.weight_update import (
+            apply_named_tensors,
+        )
+
+        if getattr(self, "_weight_group", None) is None:
+            return {"success": False,
+                    "message": "call init_weights_update_group first"}
+        try:
+            tensors = self._weight_group.wait(timeout=timeout)
+        except Exception as e:
+            return {"success": False, "message": str(e)}
+        self.scheduler_thread.pause(drain=True)
+        try:
+            if self.coordinator is not None and self.coordinator.is_driver:
+                self.coordinator.broadcast(
+                    {"op": "update_weights_tensors", "tensors": tensors}
+                )
+            n = 0
+            for runner, scheduler in self._replica_views():
+                n = apply_named_tensors(runner, tensors)
+                # KV computed under the old weights is stale.
+                scheduler.tree_cache.reset()
+            return {"success": True, "applied": n}
         except Exception as e:  # keep serving on the old weights
             return {"success": False, "message": str(e)}
         finally:

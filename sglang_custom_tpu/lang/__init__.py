@@ -14,6 +14,7 @@ from sglang_custom_tpu.lang.chat_template import (
     register_chat_template,
 )
 from sglang_custom_tpu.lang.client_backends import Anthropic, OpenAI
+from sglang_custom_tpu.lang.tracer import ProgramTrace, trace_program
 from sglang_custom_tpu.lang.ir import (
     SglFunction,
     assistant,

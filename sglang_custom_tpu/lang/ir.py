@@ -275,6 +275,14 @@ class SglFunction:
         self.func(s, *args, **kwargs)
         return s
 
+    def trace(self, *args, **kwargs):
+        """Symbolic execution without a backend (reference: lang/tracer.py
+        TracerProgramState) — returns a ProgramTrace with the program's
+        op structure, gen names, and cacheable static prefix."""
+        from sglang_custom_tpu.lang.tracer import trace_program
+
+        return trace_program(self.func, *args, **kwargs)
+
     def run_batch(
         self, batch_kwargs: List[Dict[str, Any]], backend=None,
         num_threads: int = 8,

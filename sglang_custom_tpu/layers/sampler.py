@@ -47,6 +47,9 @@ class PenaltyMeta:
     # legal). All-ones rows disable it (reference: constrained/* vocab
     # bitmask applied in sampling_batch_info.py:171).
     vocab_mask: jax.Array          # [B, ceil(V/32)] u32
+    # OpenAI logit_bias entries (-1-padded ids)
+    bias_ids: jax.Array            # [B, Bmax] i32
+    bias_vals: jax.Array           # [B, Bmax] f32
 
 
 def apply_penalties(logits: jax.Array, pm: PenaltyMeta) -> jax.Array:
@@ -78,6 +81,11 @@ def apply_penalties(logits: jax.Array, pm: PenaltyMeta) -> jax.Array:
     eids = jnp.where(pm.eos_ids >= 0, pm.eos_ids, 0)
     blocked = blocked.at[erows, eids].set(pm.eos_ids >= 0, mode="drop")
     logits = jnp.where(blocked & pm.block_eos[:, None], _NEG_INF, logits)
+    # OpenAI logit_bias: additive per-token offsets.
+    brows = jax.lax.broadcasted_iota(jnp.int32, pm.bias_ids.shape, 0)
+    bids = jnp.where(pm.bias_ids >= 0, pm.bias_ids, 0)
+    bvals = jnp.where(pm.bias_ids >= 0, pm.bias_vals, 0.0)
+    logits = logits.at[brows, bids].add(bvals, mode="drop")
     # Grammar bitmask: unpack [B, W] u32 -> [B, W*32] bits, slice to V.
     W = pm.vocab_mask.shape[1]
     bits = jnp.right_shift(

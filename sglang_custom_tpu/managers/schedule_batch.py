@@ -236,6 +236,9 @@ class HostBatch:
     # multimodal embedding override for this extend window (None = text-only)
     mm_override: Optional[np.ndarray] = None  # [B, T, H] f32
     mm_mask: Optional[np.ndarray] = None      # [B, T] bool
+    # per-row custom logit processors (host-sampling cold path); None when
+    # no request in the batch carries one
+    custom_procs: Optional[list] = None
     # token-slot ids for the device feedback table (model_runner.tok_slots);
     # None when requests carry no slots (e.g. direct runner tests)
     slot_ids: Optional[np.ndarray] = None     # [B] i32
@@ -341,6 +344,13 @@ def build_batch(
         lora_ids = np.asarray([r.lora_slot for r in reqs], np.int32)
         lora_scale = np.asarray([r.lora_scaling for r in reqs], np.float32)
 
+    custom_procs = None
+    if any(r.sampling_params.custom_logit_processor for r in reqs):
+        custom_procs = [
+            _resolve_processor(r.sampling_params.custom_logit_processor)
+            for r in reqs
+        ]
+
     is_embed = any(r.is_embedding for r in reqs)
     assert not is_embed or all(r.is_embedding for r in reqs), (
         "embedding and generation requests must not share a batch"
@@ -388,6 +398,7 @@ def build_batch(
         top_p=top_p,
         min_p=min_p,
         penalties=penalties,
+        custom_procs=custom_procs,
         ilp_targets=ilp_targets,
         ilp_valid=ilp_valid,
         mm_override=mm_override,
@@ -397,6 +408,24 @@ def build_batch(
         gens=[r.gen for r in reqs],
         chunked=[r.is_chunked for r in reqs],
     )
+
+
+_PROC_CACHE: dict = {}
+
+
+def _resolve_processor(spec):
+    """callable -> itself; "module:function" -> imported callable (cached);
+    None -> None (reference: custom_logit_processor.py from_str)."""
+    if spec is None or callable(spec):
+        return spec
+    if spec in _PROC_CACHE:
+        return _PROC_CACHE[spec]
+    mod, _, fn = str(spec).partition(":")
+    import importlib
+
+    f = getattr(importlib.import_module(mod), fn)
+    _PROC_CACHE[spec] = f
+    return f
 
 
 def _build_penalties(reqs: List[Req], vocab_size: int) -> dict:
@@ -422,6 +451,13 @@ def _build_penalties(reqs: List[Req], vocab_size: int) -> dict:
     block_eos = np.zeros((B,), bool)
     eos_ids = np.full((B, emax), -1, np.int32)
     vocab_mask = np.full((B, W), 0xFFFFFFFF, np.uint32)
+    bmax = max(
+        max((len(r.sampling_params.logit_bias or {}) for r in reqs),
+            default=0),
+        1,
+    )
+    bias_ids = np.full((B, bmax), -1, np.int32)
+    bias_vals = np.zeros((B, bmax), np.float32)
     for i, r in enumerate(reqs):
         sp = r.sampling_params
         n = len(r.output_ids)
@@ -437,6 +473,10 @@ def _build_penalties(reqs: List[Req], vocab_size: int) -> dict:
         if r.grammar is not None and not r.is_chunked:
             m = r.grammar.vocab_mask()
             vocab_mask[i, : len(m)] = m
+        if sp.logit_bias:
+            items = list(sp.logit_bias.items())
+            bias_ids[i, : len(items)] = [int(t) for t, _ in items]
+            bias_vals[i, : len(items)] = [float(v) for _, v in items]
     return {
         "output_ids": out_ids,
         "output_len": out_len,
@@ -446,4 +486,6 @@ def _build_penalties(reqs: List[Req], vocab_size: int) -> dict:
         "block_eos": block_eos,
         "eos_ids": eos_ids,
         "vocab_mask": vocab_mask,
+        "bias_ids": bias_ids,
+        "bias_vals": bias_vals,
     }

@@ -152,10 +152,18 @@ class Scheduler:
         if batch is None:
             return self._collect_one() if self.inflight else []
 
+        recording = (
+            self.runner.expert_recorder is not None
+            and self.runner.expert_recorder.recording
+        )
         if (
             self.enable_overlap
             and self.runner.is_hot_batch(batch)
             and not batch.spec
+            # expert-distribution recording runs the synchronous recorded
+            # executable (model_runner._step_recorded); the hot packed
+            # path has no counts output (eplb/expert_distribution.py)
+            and not recording
         ):
             self._mark_dispatched(batch)
             handle = self.runner.forward_hot_async(batch)

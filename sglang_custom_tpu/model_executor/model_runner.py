@@ -186,6 +186,9 @@ class ModelRunner:
         )
         self._step_mm = jit_kv(self._step_mm_impl, 5, n_out_extra=2)
         self._step_embed = jit_kv(self._step_embed_impl, 1)
+        self._step_cold_logits = jit_kv(
+            self._step_cold_logits_impl, 2, n_out_extra=1
+        )
         self._step_recorded = jit_kv(
             self._step_recorded_impl, 3, n_out_extra=3
         )
@@ -532,6 +535,96 @@ class ModelRunner:
         logprobs = compute_token_logprobs(logits, tokens)
         return kv, tokens, logprobs, counts
 
+    def _build_pmeta(self, batch: HostBatch, Bp: int, pad):
+        """PenaltyMeta from the batch's numpy penalty dict (None if the
+        batch carries no penalties)."""
+        if batch.penalties is None:
+            return None
+        pen = batch.penalties
+        Omax = pow2_bucket(pen["output_ids"].shape[1], lo=8)
+        Emax = pow2_bucket(pen["eos_ids"].shape[1], lo=8)
+        Bmax = pow2_bucket(pen["bias_ids"].shape[1], lo=8)
+        return PenaltyMeta(
+            output_ids=jnp.asarray(pad(pen["output_ids"], (Bp, Omax))),
+            output_len=jnp.asarray(pad(pen["output_len"], (Bp,))),
+            frequency_penalty=jnp.asarray(
+                pad(pen["frequency_penalty"], (Bp,))
+            ),
+            presence_penalty=jnp.asarray(
+                pad(pen["presence_penalty"], (Bp,))
+            ),
+            repetition_penalty=jnp.asarray(
+                pad(pen["repetition_penalty"], (Bp,), fill=1.0)
+            ),
+            block_eos=jnp.asarray(pad(pen["block_eos"], (Bp,))),
+            eos_ids=jnp.asarray(pad(pen["eos_ids"], (Bp, Emax), fill=-1)),
+            vocab_mask=jnp.asarray(
+                pad(
+                    pen["vocab_mask"],
+                    (Bp, pen["vocab_mask"].shape[1]),
+                    fill=0xFFFFFFFF,
+                )
+            ),
+            bias_ids=jnp.asarray(pad(pen["bias_ids"], (Bp, Bmax), fill=-1)),
+            bias_vals=jnp.asarray(pad(pen["bias_vals"], (Bp, Bmax))),
+        )
+
+    def _step_cold_logits_impl(
+        self, params, kv, meta: ForwardMeta, pmeta=None
+    ):
+        """Cold step that RETURNS the (optionally penalized) last-token
+        logits instead of sampling: the host applies custom logit
+        processors and samples there (reference: sampling/
+        custom_logit_processor.py applied in the Sampler — an inherently
+        host/Python hook, so the step ships [B, V] f32 once per iteration
+        for the requests that opt in)."""
+        hidden, kv = self.model.forward(
+            params, self.cfg, meta, kv, self.attn_backend
+        )
+        logits = self.model.compute_last_logits(params, hidden, meta, self.cfg)
+        if pmeta is not None:
+            logits = apply_penalties(logits, pmeta)
+        return kv, logits
+
+    def _host_sample(self, logits: "np.ndarray", batch: HostBatch):
+        """Numpy sampler for the custom-processor path: greedy /
+        temperature + top-k + top-p, seeded from the step counter."""
+        B = batch.batch_size
+        rng = np.random.Generator(np.random.SFC64(
+            self.server_args.random_seed * 1_000_003 + self._step_counter
+        ))
+        toks = np.zeros((B,), np.int32)
+        lps = np.zeros((B,), np.float32)
+        V = logits.shape[1]
+        for i in range(B):
+            row = logits[i].astype(np.float64)
+            t = float(batch.temperature[i])
+            logz_row = row - (np.log(np.sum(np.exp(row - row.max())))
+                              + row.max())
+            if t == 0.0:
+                toks[i] = int(row.argmax())
+                lps[i] = float(logz_row[toks[i]])
+                continue
+            scaled = row / t
+            k = int(batch.top_k[i])
+            if 0 < k < V:
+                kth = np.partition(scaled, -k)[-k]
+                scaled = np.where(scaled < kth, -np.inf, scaled)
+            p = float(batch.top_p[i])
+            probs = np.exp(scaled - scaled.max())
+            probs /= probs.sum()
+            if p < 1.0:
+                order = np.argsort(-probs)
+                csum = np.cumsum(probs[order])
+                cut = np.searchsorted(csum, p) + 1
+                mask = np.zeros((V,), bool)
+                mask[order[:cut]] = True
+                probs = np.where(mask, probs, 0.0)
+                probs /= probs.sum()
+            toks[i] = int(rng.choice(V, p=probs))
+            lps[i] = float(logz_row[toks[i]])
+        return toks, lps
+
     def _step_cold_impl(
         self, params, kv, meta: ForwardMeta, smeta: SamplingMeta, key,
         pmeta=None, target_ids=None, lora=None, lora_ids=None,
@@ -617,6 +710,7 @@ class ModelRunner:
             and batch.ilp_targets is None
             and batch.lora_ids is None
             and batch.mm_override is None
+            and batch.custom_procs is None
         )
 
     def forward_hot_async(self, batch: HostBatch):
@@ -796,6 +890,22 @@ class ModelRunner:
             finish_cold(tokens)
             return np.asarray(tokens)[:B], np.asarray(logprobs)[:B]
 
+        if batch.custom_procs is not None:
+            pmeta = self._build_pmeta(batch, Bp, pad)
+            kv, logits = self._step_cold_logits(
+                self.params, self.kv_pool.kv, meta, pmeta
+            )
+            self.kv_pool.kv = kv
+            lg = np.array(logits, np.float32)[:B]  # writable host copy
+            for i, (proc, r) in enumerate(
+                zip(batch.custom_procs, batch.reqs)
+            ):
+                if proc is not None:
+                    lg[i] = proc(lg[i], r)
+            tokens, logprobs = self._host_sample(lg, batch)
+            finish_cold(tokens)
+            return tokens, logprobs
+
         if recording and batch.penalties is None and lora is None:
             kv, tokens, logprobs, counts = self._step_recorded(
                 self.params, self.kv_pool.kv, meta, smeta, key
@@ -807,33 +917,7 @@ class ModelRunner:
 
         # Composable cold step: penalties, input logprobs, and LoRA in any
         # combination (one executable per present-feature set).
-        pmeta = None
-        if batch.penalties is not None:
-            pen = batch.penalties
-            Omax = pow2_bucket(pen["output_ids"].shape[1], lo=8)
-            Emax = pow2_bucket(pen["eos_ids"].shape[1], lo=8)
-            pmeta = PenaltyMeta(
-                output_ids=jnp.asarray(pad(pen["output_ids"], (Bp, Omax))),
-                output_len=jnp.asarray(pad(pen["output_len"], (Bp,))),
-                frequency_penalty=jnp.asarray(
-                    pad(pen["frequency_penalty"], (Bp,))
-                ),
-                presence_penalty=jnp.asarray(
-                    pad(pen["presence_penalty"], (Bp,))
-                ),
-                repetition_penalty=jnp.asarray(
-                    pad(pen["repetition_penalty"], (Bp,), fill=1.0)
-                ),
-                block_eos=jnp.asarray(pad(pen["block_eos"], (Bp,))),
-                eos_ids=jnp.asarray(pad(pen["eos_ids"], (Bp, Emax), fill=-1)),
-                vocab_mask=jnp.asarray(
-                    pad(
-                        pen["vocab_mask"],
-                        (Bp, pen["vocab_mask"].shape[1]),
-                        fill=0xFFFFFFFF,
-                    )
-                ),
-            )
+        pmeta = self._build_pmeta(batch, Bp, pad)
         targets = None
         if batch.ilp_targets is not None:
             targets = jnp.asarray(pad(batch.ilp_targets, (Bp, Tp)))

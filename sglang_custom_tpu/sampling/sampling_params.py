@@ -33,6 +33,15 @@ class SamplingParams:
     # srt/constrained/*): token-bitmask enforced grammar.
     regex: Optional[str] = None
     json_schema: Optional[str] = None
+    # OpenAI logit_bias: {token_id: bias in [-100, 100]} added to logits
+    # before sampling (reference: sampling_batch_info apply_logits_bias).
+    logit_bias: Optional[dict] = None
+    # Custom logit processor (reference: srt/sampling/
+    # custom_logit_processor.py, gated by --enable-custom-logit-processor):
+    # a callable ``fn(logits_np [V] f32, req) -> logits_np`` for in-process
+    # Engine use, or an importable "module:function" string over HTTP.
+    # Routes the request down the host-sampling cold path.
+    custom_logit_processor: Optional[object] = None
 
     def __post_init__(self):
         if isinstance(self.stop, str):
@@ -52,6 +61,7 @@ class SamplingParams:
             or self.presence_penalty != 0.0
             or self.repetition_penalty != 1.0
             or self.min_new_tokens > 0
+            or bool(self.logit_bias)
         )
 
     def verify(self) -> None:

@@ -109,3 +109,61 @@ def test_update_weights(engine, tmp_path_factory):
 def test_get_weights_by_name(engine):
     w = engine.get_weights_by_name("layers.q_proj")
     assert w.shape[0] == 2  # stacked layers
+
+
+def test_update_weights_from_distributed(engine, tmp_path_factory):
+    """Trainer-push weight update (reference: scheduler.py:2488
+    init_weights_update_group + :2493 update_weights_from_distributed;
+    here host-staged TCP, model_executor/weight_update.py). The engine
+    must serve EXACTLY what a fresh engine loading the trainer's
+    checkpoint serves."""
+    import safetensors.torch as st
+    import glob
+
+    from sglang_custom_tpu.model_executor.weight_update import (
+        WeightUpdateClient,
+    )
+
+    sp = {"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True}
+
+    # the "trainer": a fresh random checkpoint's tensors
+    path_c = _ckpt(tmp_path_factory, "rpc_c", 999)
+    tensors = {}
+    for f in glob.glob(path_c + "/*.safetensors"):
+        for k, v in st.load_file(f).items():
+            tensors[k] = v.float().numpy()
+
+    info = engine.init_weights_update_group()
+    assert info["success"]
+
+    done = {}
+
+    def trainer():
+        c = WeightUpdateClient(info["host"], info["port"])
+        # push in two batches to exercise accumulation
+        names = sorted(tensors)
+        half = len(names) // 2
+        c.push({n: tensors[n] for n in names[:half]})
+        c.push({n: tensors[n] for n in names[half:]})
+        c.finish()
+        done["ok"] = True
+
+    th = threading.Thread(target=trainer)
+    th.start()
+    res = engine.update_weights_from_distributed(timeout=60)
+    th.join(timeout=10)
+    assert done.get("ok") and res["success"], res
+    assert res["applied"] == len(tensors)
+
+    got = engine.generate(input_ids=[1, 2, 3], sampling_params=sp)
+
+    ref = Engine(
+        server_args=ServerArgs(
+            model_path=path_c, dtype="float32", device="cpu", page_size=16,
+            skip_tokenizer_init=True,
+        ),
+        num_pages=128,
+    )
+    want = ref.generate(input_ids=[1, 2, 3], sampling_params=sp)
+    ref.shutdown()
+    assert got["output_ids"] == want["output_ids"]

@@ -131,3 +131,44 @@ def test_run_batch(backend):
     for st in states:
         # tokens were generated (text may be empty if all are specials)
         assert st.meta["out"]["completion_tokens"] == 4
+
+
+def test_tracer_structure_and_prefix():
+    """Program tracer (reference: lang/tracer.py): recover the op graph
+    and the cacheable static prefix without any backend."""
+    from sglang_custom_tpu.lang import function, gen, select
+    from sglang_custom_tpu.lang.tracer import trace_program
+
+    @function
+    def prog(s, topic):
+        s += "You are a poet.\n"
+        s += f"Write about {topic}: "
+        s += gen("poem", max_tokens=32, temperature=0.7)
+        s += "\nRate it: "
+        s += select("rating", choices=["good", "bad"])
+        s += f" because {s['poem']}"
+
+    tr = prog.trace(topic="the sea")
+    assert tr.static_prefix() == "You are a poet.\nWrite about the sea: "
+    assert tr.gen_names() == ["poem", "rating"]
+    kinds = [k for k, _ in tr.nodes]
+    assert kinds == ["const", "const", "gen", "const", "select", "const"]
+    # gen results flow as placeholders into later text
+    assert "[[gen:poem]]" in tr.nodes[-1][1]
+    assert "gen[poem]" in tr.pretty()
+
+
+def test_tracer_fork():
+    from sglang_custom_tpu.lang import function, gen
+    from sglang_custom_tpu.lang.tracer import trace_program
+
+    @function
+    def prog(s):
+        s += "intro "
+        forks = s.fork(2)
+        for i, f in enumerate(forks):
+            f += f"branch {i} "
+            f += gen(f"g{i}", max_tokens=4)
+
+    tr = prog.trace()
+    assert ("fork", 2) in tr.nodes

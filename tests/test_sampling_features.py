@@ -26,6 +26,8 @@ def test_apply_penalties_math():
         block_eos=jnp.asarray([False, True]),
         eos_ids=jnp.asarray([[-1, -1], [5, 7]], jnp.int32),
         vocab_mask=jnp.full((2, 1), 0xFFFFFFFF, jnp.uint32),
+        bias_ids=jnp.full((2, 1), -1, jnp.int32),
+        bias_vals=jnp.zeros((2, 1), jnp.float32),
     )
     out = np.asarray(apply_penalties(logits, pm))
     # row 0: token 1 appears twice -> -2*0.5 - 0.25; token 2 once -> -0.75
@@ -48,6 +50,8 @@ def test_repetition_penalty_math():
         block_eos=jnp.asarray([False]),
         eos_ids=jnp.asarray([[-1]], jnp.int32),
         vocab_mask=jnp.full((1, 1), 0xFFFFFFFF, jnp.uint32),
+        bias_ids=jnp.full((1, 1), -1, jnp.int32),
+        bias_vals=jnp.zeros((1, 1), jnp.float32),
     )
     out = np.asarray(apply_penalties(logits, pm))
     np.testing.assert_allclose(out[0], [1.0, -4.0, 1.0], atol=1e-6)
@@ -147,3 +151,82 @@ def test_mixed_penalty_batch(engine):
         ],
     )
     assert all(len(o["output_ids"]) == 8 for o in outs)
+
+
+def test_logit_bias_forces_token(engine):
+    """OpenAI logit_bias: a +100 bias on one token makes greedy pick it
+    (reference: sampling_batch_info apply_logits_bias)."""
+    out = engine.generate(
+        input_ids=[3, 4, 5],
+        sampling_params={
+            "max_new_tokens": 4, "temperature": 0.0, "ignore_eos": True,
+            "logit_bias": {7: 100.0},
+        },
+    )
+    assert out["output_ids"] == [7, 7, 7, 7]
+
+    # a -100 bias removes a token from greedy support
+    base = engine.generate(
+        input_ids=[3, 4, 5],
+        sampling_params={"max_new_tokens": 1, "temperature": 0.0,
+                         "ignore_eos": True},
+    )
+    banned = base["output_ids"][0]
+    out2 = engine.generate(
+        input_ids=[3, 4, 5],
+        sampling_params={
+            "max_new_tokens": 4, "temperature": 0.0, "ignore_eos": True,
+            "logit_bias": {banned: -1000.0},
+        },
+    )
+    assert banned not in out2["output_ids"]
+
+
+def _force_token_3(logits, req):
+    logits = logits.copy()
+    logits[3] += 1000.0
+    return logits
+
+
+def test_custom_logit_processor(engine):
+    """Callable custom logit processor drives the host-sampling cold path
+    (reference: srt/sampling/custom_logit_processor.py)."""
+    out = engine.generate(
+        input_ids=[5, 6, 7],
+        sampling_params={
+            "max_new_tokens": 3, "temperature": 0.0, "ignore_eos": True,
+            "custom_logit_processor": _force_token_3,
+        },
+    )
+    assert out["output_ids"] == [3, 3, 3]
+
+    # importable "module:function" form (the HTTP-friendly spelling)
+    out2 = engine.generate(
+        input_ids=[5, 6, 7],
+        sampling_params={
+            "max_new_tokens": 3, "temperature": 0.0, "ignore_eos": True,
+            "custom_logit_processor":
+                "tests.test_sampling_features:_force_token_3",
+        },
+    )
+    assert out2["output_ids"] == [3, 3, 3]
+
+
+def test_custom_processor_mixed_batch(engine):
+    """A processor request and a plain request share a continuous batch;
+    the plain request's stream must be unaffected."""
+    plain = engine.generate(
+        input_ids=[9, 8, 7],
+        sampling_params={"max_new_tokens": 6, "temperature": 0.0,
+                         "ignore_eos": True},
+    )
+    outs = engine.generate(
+        input_ids=[[9, 8, 7], [5, 6, 7]],
+        sampling_params=[
+            {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True},
+            {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True,
+             "custom_logit_processor": _force_token_3},
+        ],
+    )
+    assert outs[0]["output_ids"] == plain["output_ids"]
+    assert outs[1]["output_ids"] == [3] * 6
