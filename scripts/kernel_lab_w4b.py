@@ -214,8 +214,7 @@ def ref_out(xv, l, magic=False):
     return np.asarray(xv, np.float32) @ (w4 * s + z)
 
 zr_adj = zr - 16.0 * sc  # host-folded magic offset
-for name, call, zz, mg in [("i16", i16_call, zr, False),
-                           ("magic", magic_call, zr_adj, True)]:
+for name, call, zz, mg in [("magic", magic_call, zr_adj, True)]:
     try:
         got = np.asarray(
             call(x, qw[0], sc[0], zz[0], sc[0], zz[0]), np.float32
@@ -233,9 +232,6 @@ timeit("current kernel (scan x32)",
               qw, sc, zr), int4_gb)
 timeit("E1 unpack-only no-dot (scan x32)",
        scan32(lambda c, q: unpack_call(c, q), qw), int4_gb)
-timeit("E7 i16-domain unpack (scan x32)",
-       scan32(lambda c, q, s, z: i16_call(c, q, s, z, s, z), qw, sc, zr),
-       int4_gb)
 timeit("E4 magic-f32 unpack (scan x32)",
        scan32(lambda c, q, s, z: magic_call(c, q, s, z, s, z),
               qw, sc, zr_adj), int4_gb)

@@ -97,6 +97,11 @@ class Req:
         self.page_list: List[int] = []   # pages backing fill_ids[:computed_len]
         self.cached_len = 0              # leading tokens whose pages the tree owns
         self.computed_len = 0            # tokens with KV computed
+        # SWA-layer twin state (hybrid sliding-window models only;
+        # mem_cache/swa_radix_cache.py) — entries may be DEAD tombstones
+        self.swa_page_list: List[int] = []
+        self.swa_cached_len = 0
+        self.swa_last_node = None
         self.last_node: Optional[TreeNode] = None
         self.is_chunked = False          # mid-chunked-prefill
 
@@ -191,6 +196,9 @@ class Req:
         self.last_node = None
         self.is_chunked = False
         self.status = ReqStatus.WAITING
+        self.swa_page_list = []
+        self.swa_cached_len = 0
+        self.swa_last_node = None
 
     def __repr__(self):
         return (
@@ -236,6 +244,8 @@ class HostBatch:
     # multimodal embedding override for this extend window (None = text-only)
     mm_override: Optional[np.ndarray] = None  # [B, T, H] f32
     mm_mask: Optional[np.ndarray] = None      # [B, T] bool
+    # SWA layers' page table (hybrid window models; None otherwise)
+    page_table_swa: Optional[np.ndarray] = None
     # per-row custom logit processors (host-sampling cold path); None when
     # no request in the batch carries one
     custom_procs: Optional[list] = None
@@ -302,6 +312,16 @@ def build_batch(
     top_k = np.zeros((B,), dtype=np.int32)
     top_p = np.ones((B,), dtype=np.float32)
     min_p = np.zeros((B,), dtype=np.float32)
+
+    page_table_swa = None
+    if any(r.swa_page_list for r in reqs):
+        from sglang_custom_tpu.mem_cache.allocator import GARBAGE_PAGE as _G
+
+        page_table_swa = np.zeros((B, max_pages), dtype=np.int32)
+        for i, r in enumerate(reqs):
+            sp_ = r.swa_page_list[:max_pages]
+            row = [p if p >= 0 else _G for p in sp_]  # DEAD -> garbage
+            page_table_swa[i, : len(row)] = row
 
     for i, (r, e) in enumerate(zip(reqs, extend_lens)):
         c = base(r)
@@ -398,6 +418,7 @@ def build_batch(
         top_p=top_p,
         min_p=min_p,
         penalties=penalties,
+        page_table_swa=page_table_swa,
         custom_procs=custom_procs,
         ilp_targets=ilp_targets,
         ilp_valid=ilp_valid,

@@ -69,6 +69,27 @@ class Scheduler:
             self.tree_cache = RadixCache(self.page_size, self.allocator.free)
         if getattr(server_args, "enable_kv_events", False):
             self.tree_cache.enable_events = True
+        # SWA dual-table state for hybrid sliding-window models
+        # (mem_cache/swa_radix_cache.py; reference: SWAKVPool +
+        # swa_radix_cache.py). Active only with the plain radix tree and
+        # a model that routes per-layer tables (models/gemma.py).
+        self.swa = None
+        cfg = model_runner.cfg
+        if (
+            cfg.sliding_window
+            and getattr(model_runner.model, "SUPPORTS_SWA_TABLES", False)
+            and isinstance(self.tree_cache, RadixCache)
+            and type(self.tree_cache) is RadixCache
+            and spec_runner is None
+        ):
+            from sglang_custom_tpu.mem_cache.swa_radix_cache import SWAState
+
+            self.swa = SWAState(
+                model_runner.num_pages, self.page_size, cfg.sliding_window
+            )
+            logger.info(
+                "SWA dual-table cache active: window=%d", cfg.sliding_window
+            )
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree_cache)
 
         self.waiting_queue: List[Req] = []
@@ -327,6 +348,12 @@ class Scheduler:
         # the full-hit case).
         max_cached = ((len(r.fill_ids) - 1) // self.page_size) * self.page_size
         cached_len = min(m.matched_len, max_cached)
+        m_swa = None
+        if self.swa is not None:
+            # both trees must cover the skipped prefix, and the swa window
+            # region must be live (tombstones force a shorter prefix)
+            swa_len, m_swa = self.swa.usable_prefix(r.fill_ids, cached_len)
+            cached_len = min(cached_len, swa_len)
         pages = m.pages[: cached_len // self.page_size]
 
         # Lock the matched path BEFORE any eviction below: _ensure_free_pages
@@ -357,6 +384,15 @@ class Scheduler:
                 self.tree_cache.dec_lock_ref(m.last_node)
                 return False
             r.tok_slot = self._free_slots.pop()
+        if self.swa is not None:
+            if not self.swa.commit(r, cached_len, m_swa, new_pages_needed):
+                # swa-side pressure: evict its tree and retry once
+                self.swa.evict(new_pages_needed * self.page_size)
+                if not self.swa.commit(
+                    r, cached_len, m_swa, new_pages_needed
+                ):
+                    self.tree_cache.dec_lock_ref(m.last_node)
+                    return False
         new_pages = self.allocator.alloc(new_pages_needed)
         assert new_pages is not None
         r.cached_len = cached_len
@@ -389,6 +425,11 @@ class Scheduler:
         pages = self.allocator.alloc(needed)
         assert pages is not None
         r.page_list.extend(pages)
+        if self.swa is not None:
+            if not self.swa.extend(r, r.virtual_computed + ext):
+                self.swa.evict(needed * self.page_size)
+                if not self.swa.extend(r, r.virtual_computed + ext):
+                    return False  # caller retracts; release frees both
         return True
 
     def _ensure_free_pages(self, n: int) -> bool:
@@ -449,6 +490,11 @@ class Scheduler:
             i += 1
         if not eligible:
             return None
+        if self.swa is not None:
+            # slide the window: request-owned swa pages wholly behind
+            # every in-flight read are reclaimed (the plateau)
+            for r in eligible:
+                self.swa.window_evict(r, r.computed_len)
         batch = build_batch(
             eligible,
             [1] * len(eligible),
@@ -513,6 +559,12 @@ class Scheduler:
                 pages = r.page_list[:need]
                 wide[i, : len(pages)] = pages
             batch.page_table = wide
+            if batch.page_table_swa is not None:
+                wide_s = np.zeros((len(batch.reqs), need), dtype=np.int32)
+                for i, r in enumerate(batch.reqs):
+                    row = [max(p, 0) for p in r.swa_page_list[:need]]
+                    wide_s[i, : len(row)] = row  # DEAD -> garbage page 0
+                batch.page_table_swa = wide_s
         return batch
 
     def _retract_one(self) -> Req:
@@ -533,6 +585,8 @@ class Scheduler:
         return victim
 
     def _release_req_kv(self, r: Req) -> None:
+        if self.swa is not None:
+            self.swa.release(r)
         self.allocator.free(r.own_pages(self.page_size))
         if r.last_node is not None:
             self.tree_cache.dec_lock_ref(r.last_node)
@@ -730,6 +784,8 @@ class Scheduler:
 
     def _publish_unfinished(self, r: Req) -> None:
         tokens = r.fill_ids[: r.computed_len]
+        if self.swa is not None:
+            self.swa.publish_unfinished(r, tokens)
         new_pages, new_cached, new_node = self.tree_cache.cache_unfinished_req(
             tokens, r.page_list, r.cached_len, r.last_node
         )
@@ -739,6 +795,8 @@ class Scheduler:
 
     def _finalize_req(self, r: Req) -> None:
         tokens = r.fill_ids[: r.computed_len]
+        if self.swa is not None:
+            self.swa.finish(r, tokens)
         self.tree_cache.cache_finished_req(
             tokens, r.page_list, r.cached_len, r.last_node
         )
@@ -758,6 +816,11 @@ class Scheduler:
             f"tree={self._tree_pages()} total={self.allocator.num_pages}"
         )
         self.tree_cache.sanity_check()
+        if self.swa is not None:
+            assert self.swa.check_leaks(), (
+                f"swa page leak: free={self.swa.allocator.available_pages} "
+                f"tree={self.swa.live_tree_pages()}"
+            )
 
     def _tree_pages(self) -> int:
         if isinstance(self.tree_cache, ChunkCache):

@@ -35,6 +35,13 @@ class ForwardMeta:
     page_table: jax.Array  # [B, PMAX] int32 page ids (garbage page 0 pads)
     seq_lens: jax.Array    # [B] int32 total tokens (incl. this step's); 0 = padding row
     extend_lens: jax.Array # [B] int32 new tokens this step (decode: 1)
+    # Sliding-window layers' page table (hybrid models, e.g. Gemma): SWA
+    # layers read/write through THIS table while full-attention layers use
+    # ``page_table``. Same pool array — a page id's full-layer rows and
+    # swa-layer rows are independently owned (mem_cache/swa_radix_cache.py
+    # dual-allocator design; reference: SWAKVPool memory_pool.py:471).
+    # None = single-table models (everything before this field unchanged).
+    page_table_swa: jax.Array = None            # [B, PMAX] int32 or None
 
     # --- speculative-tree extensions (None for normal steps) ---
     # RoPE positions when decoupled from KV-slot positions: tree nodes are

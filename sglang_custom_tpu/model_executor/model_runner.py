@@ -100,6 +100,12 @@ class ModelRunner:
             and mesh_ctx.tp_size == 1
         )
 
+        # Dual SWA page tables (mem_cache/swa_radix_cache.py): static per
+        # model+config, so every host compiles the same packed-meta layout.
+        self.has_swa = bool(
+            cfg.sliding_window
+            and getattr(self.model, "SUPPORTS_SWA_TABLES", False)
+        )
         self.context_len = server_args.context_length or cfg.max_position_embeddings
         self.max_pages_per_req = (
             self.context_len + self.page_size - 1
@@ -296,10 +302,19 @@ class ModelRunner:
             if batch.slot_ids is not None
             else np.zeros((batch.batch_size,), np.int32)
         )
+        parts_swa = []
+        if self.has_swa:
+            pts = (
+                batch.page_table_swa
+                if batch.page_table_swa is not None
+                else batch.page_table
+            )
+            parts_swa = [pad(pts, (Bp, Pp)).ravel()]
         return np.concatenate([
             pad(batch.token_ids, (Bp, Tp)).ravel(),
             pad(batch.positions, (Bp, Tp)).ravel(),
             pad(batch.page_table, (Bp, Pp)).ravel(),
+            *parts_swa,
             pad(batch.seq_lens, (Bp,), fill=1),
             pad(batch.extend_lens, (Bp,), fill=1),
             pad(batch.top_k, (Bp,), fill=1),
@@ -320,6 +335,7 @@ class ModelRunner:
         token_ids = take(B * T, (B, T))
         positions = take(B * T, (B, T))
         page_table = take(B * P, (B, P))
+        page_table_swa = take(B * P, (B, P)) if self.has_swa else None
         seq_lens = take(B, (B,))
         extend_lens = take(B, (B,))
         top_k = take(B, (B,))
@@ -332,6 +348,7 @@ class ModelRunner:
             token_ids = tok_slots[slot_ids][:, None]
         meta = ForwardMeta(
             token_ids=token_ids, positions=positions, page_table=page_table,
+            page_table_swa=page_table_swa,
             seq_lens=seq_lens, extend_lens=extend_lens,
         )
         smeta = SamplingMeta(
@@ -425,6 +442,7 @@ class ModelRunner:
                 token_ids=tok[:, None],
                 positions=pos[:, None],
                 page_table=meta.page_table,
+                page_table_swa=meta.page_table_swa,
                 seq_lens=seq_lens,
                 extend_lens=jnp.ones_like(seq_lens),
             )
@@ -781,7 +799,8 @@ class ModelRunner:
         ServerArgs + model geometry so every host computes the same value."""
         bmax = pow2_bucket(self.server_args.max_running_requests)
         pmax = pow2_bucket(self.max_pages_per_req)
-        return 16 + bmax * (9 + pmax) + 1
+        ntab = 2 if self.has_swa else 1
+        return 16 + bmax * (9 + ntab * pmax) + 1
 
     def forward_hot_from_frame(self, header, packed) -> None:
         """Multihost follower: execute a hot step mirrored as a frame."""
@@ -834,11 +853,22 @@ class ModelRunner:
 
         self._step_counter += 1
 
+        def _pts():
+            if not self.has_swa:
+                return None
+            pts = (
+                batch.page_table_swa
+                if batch.page_table_swa is not None
+                else batch.page_table
+            )
+            return jnp.asarray(pad(pts, (Bp, Pp)))
+
         if batch.is_embed:
             meta = ForwardMeta(
                 token_ids=jnp.asarray(pad(batch.token_ids, (Bp, Tp))),
                 positions=jnp.asarray(pad(batch.positions, (Bp, Tp))),
                 page_table=jnp.asarray(pad(batch.page_table, (Bp, Pp))),
+                page_table_swa=_pts(),
                 seq_lens=jnp.asarray(pad(batch.seq_lens, (Bp,), fill=1)),
                 extend_lens=jnp.asarray(pad(batch.extend_lens, (Bp,), fill=1)),
             )
@@ -852,6 +882,7 @@ class ModelRunner:
             token_ids=jnp.asarray(pad(batch.token_ids, (Bp, Tp))),
             positions=jnp.asarray(pad(batch.positions, (Bp, Tp))),
             page_table=jnp.asarray(pad(batch.page_table, (Bp, Pp))),
+            page_table_swa=_pts(),
             # Padding rows: seq_len 1 so they attend only to garbage-page
             # position 0 (keeps the masked softmax trivially well-formed),
             # and extend_len 1 so the last-token gather stays in bounds.

@@ -169,6 +169,11 @@ def _scale(cfg: ModelConfig) -> float:
     return 1.0 / math.sqrt(base)
 
 
+# the scheduler activates dual SWA page tables only for models that
+# route them per layer (managers/scheduler.py)
+SUPPORTS_SWA_TABLES = True
+
+
 def forward(
     params: dict,
     cfg: ModelConfig,
@@ -207,6 +212,18 @@ def forward(
         else:
             lp, li, win = xs
             cos, sin = cos_g, sin_g
+        if meta.page_table_swa is not None:
+            # SWA dual tables (mem_cache/swa_radix_cache.py): sliding
+            # layers read/write their own page table; the kernel itself
+            # is unchanged (reference: SWAKVPool per-layer pool split)
+            is_loc = win < ModelConfig.FULL_WINDOW
+            lmeta = meta.replace(
+                page_table=jnp.where(
+                    is_loc, meta.page_table_swa, meta.page_table
+                )
+            )
+        else:
+            lmeta = meta
         h = rms_norm(x, lp["attn_norm"], eps)
         q = mm(h, lp["q_proj"]).reshape(B, T, Hq, D)
         k = mm(h, lp["k_proj"]).reshape(B, T, Hkv, D)
@@ -218,7 +235,7 @@ def forward(
         k = apply_rope(k, cos, sin)
 
         attn_out, kv = attn_backend(
-            q, k, v, kv, li, meta, scale, window=win, softcap=softcap
+            q, k, v, kv, li, lmeta, scale, window=win, softcap=softcap
         )
         attn_out = mm(attn_out.reshape(B, T, Hq * D), lp["o_proj"])
         x = x + rms_norm(attn_out, lp["post_attn_norm"], eps)

@@ -156,7 +156,8 @@ class MultihostCoordinator:
 # ------------------------------------------------------------- batch wire
 
 _WIRE_FIELDS = (
-    "is_extend", "token_ids", "positions", "page_table", "seq_lens",
+    "is_extend", "token_ids", "positions", "page_table", "page_table_swa",
+    "seq_lens",
     "extend_lens", "temperature", "top_k", "top_p", "min_p", "penalties",
     "burst", "spec", "ilp_targets", "ilp_valid", "lora_ids", "lora_scale",
     "is_embed", "mm_override", "mm_mask", "slot_ids", "use_slots",
@@ -165,6 +166,10 @@ _WIRE_FIELDS = (
 
 def batch_to_wire(batch) -> dict:
     d = {k: getattr(batch, k) for k in _WIRE_FIELDS}
+    # callables don't wire; followers only need the BRANCH (the driver
+    # does the host-side processing/sampling)
+    if getattr(batch, "custom_procs", None) is not None:
+        d["custom_procs"] = [None] * len(batch.custom_procs)
     d["n_reqs"] = len(batch.reqs)
     return d
 
