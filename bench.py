@@ -25,6 +25,22 @@ os.environ.setdefault("XLA_FLAGS", "")
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the W4A16 group-dot kernel costs
+    minutes of Mosaic compile over the remote tunnel; repeat bench runs
+    should pay it once."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 BATCH = 64
 PROMPT = 128
 DECODE = 256
@@ -294,6 +310,9 @@ def run_decode_bench(cfg, quantization, num_pages, batch, prompt, decode,
         "decode_scheduler_iterations": steps,
         "batch": batch,
         "decode_len": decode,
+        "layer_weight_mb": round(layer_bytes / 1e6, 1),
+        "lm_head_mb": round(lm_head_bytes / 1e6, 1),
+        "kv_stream_mb": round(kv_bytes / 1e6, 1),
     }
 
 
@@ -448,6 +467,24 @@ def main():
             roofline_gbps=roofline_gbps,
         )
         w4["metric"] = "decode_tokens_per_sec_per_chip_llama3-8b_w4a16_bs32"
+        # v5e physics note: int4 dequant is VPU-COMPUTE-bound (~270 GB/s
+        # unpack-only ceiling, scripts/kernel_lab_w4b.py + measured kernel
+        # ~175 GB/s), so vs_baseline (streamed-bytes / HBM roofline) can
+        # never reach the bandwidth-bound gate on this chip — int4's
+        # per-chip win here is CAPACITY (8B + KV on one 16 GB chip).
+        w4["vpu_unpack_ceiling_gbps"] = 272.0
+        if "ms_per_token_step" in w4:
+            # composite attainable floor: int4 layer weights at the VPU
+            # unpack ceiling + bf16 lm_head/KV at the HBM roofline
+            floor_ms = (
+                w4["layer_weight_mb"] * 1e6 / 272e9
+                + (w4["lm_head_mb"] + w4["kv_stream_mb"]) * 1e6
+                / (roofline_gbps * 1e9)
+            ) * 1e3
+            w4["compute_bound_floor_ms"] = round(floor_ms, 2)
+            w4["vs_compute_bound_floor"] = round(
+                floor_ms / w4["ms_per_token_step"], 3
+            )
     except Exception as e:  # OOM on a small chip: report, don't fail the run
         live = sorted(
             (a.nbytes for a in jax.live_arrays()), reverse=True

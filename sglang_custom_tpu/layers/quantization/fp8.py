@@ -37,21 +37,15 @@ def _on_tpu() -> bool:
 
 @jax.jit
 def fp8_matmul(x: jax.Array, qd: dict) -> jax.Array:
-    """x [..., K] @ (qweight * scales) -> [..., N]."""
-    from sglang_custom_tpu.ops.fp8_matmul import (
-        fp8_matmul_pallas,
-        supported_shape,
-    )
+    """x [..., K] @ (qweight * scales) -> [..., N].
 
-    K = x.shape[-1]
-    N = qd["qweight"].shape[1]
-    if _on_tpu() and supported_shape(K, N):
-        lead = x.shape[:-1]
-        out = fp8_matmul_pallas(
-            x.reshape(-1, K), qd["qweight"], qd["scales"]
-        )
-        return out.reshape(*lead, N).astype(x.dtype)
-    # Fallback (CPU / unsupported shapes): upcast-then-dot.
+    MEASURED (QUANT_MM_BENCH.json, v5e, 64x8192x8192, real round-trip
+    timing): XLA's upcast-into-dot runs 0.91 ms vs 1.71 ms for the Pallas
+    streaming kernel (ops/fp8_matmul.py) — the per-element e4m3->bf16
+    convert is VPU-compute-bound either way, and XLA's fusion of the
+    convert into the dot's weight read beats the hand-written pipeline.
+    So the default path is the XLA form; the Pallas kernel remains for
+    shapes/configs where fusion regresses."""
     w = qd["qweight"].astype(jnp.bfloat16)
     out = jnp.matmul(x.astype(jnp.bfloat16), w)
     return (out * qd["scales"].astype(jnp.bfloat16)).astype(x.dtype)

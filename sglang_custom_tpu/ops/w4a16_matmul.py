@@ -15,8 +15,19 @@ interleave — and the matmul becomes x_lo @ deq(lo) + x_hi @ deq(hi),
 both MXU-shaped. Scales/zeros stay [K/G, N] float32 (AWQ group
 convention, w = q * s + z).
 
-Measured (v5e, 8192x8192, B=64): 0.28 ms vs 0.95 ms bf16 = 3.4x — close
-to the 4x bandwidth ideal.
+Round-4 honesty correction: the round-2 "3.4x over bf16" number was an
+artifact — over the remote-chip tunnel ``block_until_ready`` returns
+optimistically, so the timing never saw the device. Properly measured
+(scripts/kernel_lab_w4.py / _w4b.py, real fetch), the v5e VPU's
+per-nibble unpack chain (widen->mask->shift->cvt) is COMPUTE-bound at
+~270 GB/s of int4 streaming even with no matmul at all; the full kernel
+lands at ~175 GB/s. int4's per-chip win on v5e is therefore primarily
+CAPACITY (Llama-3-8B + KV on one 16 GB chip), with a ~1.2x time win over
+bf16 weights of the same logical size. The kernel below uses the best
+measured structure: GROUP-PARTIAL MXU dots — raw nibble levels feed the
+dot per quant group and the (scale, zero) affine applies to the [tb, tn]
+group partial (65K VPU ops/block) instead of per-weight FMAs (2M), i.e.
+out = sum_g s_g * (x_g @ q_g) + (sum x_g) * z_g.
 """
 
 from __future__ import annotations
@@ -59,28 +70,29 @@ def _kernel(x_ref, q_ref, slo_ref, zlo_ref, shi_ref, zhi_ref, o_ref, acc,
         acc[:] = jnp.zeros_like(acc)
 
     # Mosaic can't cast uint8->f32 directly; widen to int32 first (the
-    # nibble values are 0..15, so signedness never matters), then do the
-    # scale/zero FMA in bf16 (half the VPU element width; the int4
-    # quantization error dwarfs bf16 rounding).
+    # nibble values are 0..15, so signedness never matters).
     q = q_ref[:].astype(jnp.int32)                 # [CKP, TILE_N]
-    lo = (q & 0xF).astype(jnp.bfloat16)
+    lo = (q & 0xF).astype(jnp.bfloat16)            # raw levels 0..15
     hi = (q >> 4).astype(jnp.bfloat16)
     gpc, tn = slo_ref.shape
     G = ckp // gpc
 
-    def deq(vals, s_ref, z_ref):
-        # [gpc, G, TILE_N] broadcast-FMA instead of a materialized repeat
-        v = vals.reshape(gpc, G, tn)
-        s = s_ref[:].astype(jnp.bfloat16)[:, None, :]
-        z = z_ref[:].astype(jnp.bfloat16)[:, None, :]
-        return (v * s + z).reshape(ckp, tn)
+    # Group-partial accumulation: dot the RAW levels per quant group and
+    # apply (scale, zero) to the [tb, tn] partial — the per-weight affine
+    # collapses from 2 ops/weight to 2 ops/output (measured: the
+    # per-weight FMA form runs at 135 GB/s, this at ~175 GB/s).
+    def half_acc(vals, s_ref, z_ref, x_off):
+        for g in range(gpc):
+            xg = x_ref[:, pl.ds(x_off + k * ckp + g * G, G)]
+            wg = vals[g * G:(g + 1) * G, :]
+            part = jnp.dot(xg, wg, preferred_element_type=jnp.float32)
+            s = s_ref[g, :][None, :]
+            z = z_ref[g, :][None, :]
+            xs = jnp.sum(xg.astype(jnp.float32), axis=1)[:, None]
+            acc[:] += part * s + xs * z
 
-    w_lo = deq(lo, slo_ref, zlo_ref)
-    w_hi = deq(hi, shi_ref, zhi_ref)
-    x_lo = x_ref[:, pl.ds(k * ckp, ckp)]
-    x_hi = x_ref[:, pl.ds(half + k * ckp, ckp)]
-    acc[:] += jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
-    acc[:] += jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
+    half_acc(lo, slo_ref, zlo_ref, 0)
+    half_acc(hi, shi_ref, zhi_ref, half)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
