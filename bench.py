@@ -68,14 +68,20 @@ def measure_roofline_gbps():
     fetch = jax.jit(lambda t: t.ravel()[0])
     x = sweep(x0)
     np.asarray(fetch(x))
-    t0 = time.perf_counter()
-    n = 20
-    for _ in range(n):
-        x = sweep(x)
-    np.asarray(fetch(x))
-    dt = (time.perf_counter() - t0) / n
     gb = L * (H * I + I * H) * 2 / 1e9
-    return gb / dt
+    # The probe is the vs_baseline DENOMINATOR; tunnel jitter has made
+    # single measurements swing 380-690 GB/s across rounds. Take the best
+    # of several short passes — the ceiling is what the metric needs.
+    best = 0.0
+    for _ in range(4):
+        t0 = time.perf_counter()
+        n = 10
+        for _ in range(n):
+            x = sweep(x)
+        np.asarray(fetch(x))
+        dt = (time.perf_counter() - t0) / n
+        best = max(best, gb / dt)
+    return best
 
 
 def measure_parts(runner, params, cfg, batch, seq):
@@ -221,6 +227,10 @@ def run_decode_bench(cfg, quantization, num_pages, batch, prompt, decode,
         max_prefill_tokens=16384,
         chunked_prefill_size=16384,
         schedule_policy="fcfs",
+        # Burst-16: the r4 attribution showed 1.7 ms/token-step of
+        # dispatch gap at burst-8 over the tunnel-attached chip; doubling
+        # the burst halves it (cost: up to 16 tokens of finish-check lag).
+        decode_burst_size=16,
     )
 
     mesh_ctx = create_mesh(tp_size=1, dp_size=1)

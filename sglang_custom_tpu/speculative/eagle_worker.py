@@ -275,9 +275,55 @@ class SpecRunner:
         return kv, dkv, feat_pool, tokens, logprobs
 
     @functools.partial(
-        jax.jit, static_argnums=(0,), donate_argnums=(3, 4, 5)
+        jax.jit, static_argnums=(0, 6, 7), donate_argnums=(3, 4, 5),
     )
-    def _decode_step(
+    def _decode_step_packed(
+        self, tparams, dparams, kv, dkv, feat_pool, B: int, P: int, packed
+    ):
+        """Packed single-upload/single-download spec decode step: over a
+        remote-attached chip every host<->device array is a serial
+        roundtrip (~20 ms), and the unpacked form shipped ~10 arrays +
+        fetched 3 — 363 ms/step of pure transfer (measured, round 4). One
+        int32 vector in, one out (same trick as the main hot path,
+        model_runner._pack_meta)."""
+        o = 0
+
+        def take(n, shape):
+            nonlocal o
+            v = packed[o : o + n].reshape(shape)
+            o += n
+            return v
+
+        token_ids = take(B, (B, 1))
+        positions = take(B, (B, 1))
+        page_table = take(B * P, (B, P))
+        seq_lens = take(B, (B,))
+        top_k = take(B, (B,))
+        slots = take(B, (B,))
+        f32 = jax.lax.bitcast_convert_type(take(3 * B, (3, B)), jnp.float32)
+        counter = packed[o]
+        meta = ForwardMeta(
+            token_ids=token_ids, positions=positions,
+            page_table=page_table, seq_lens=seq_lens,
+            extend_lens=jnp.ones_like(seq_lens),
+        )
+        smeta = SamplingMeta(
+            temperature=f32[0], top_k=top_k, top_p=f32[1], min_p=f32[2]
+        )
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self.server_args.random_seed), counter
+        )
+        kv, dkv, fp, y, lps, n_accept = self._decode_impl(
+            tparams, dparams, kv, dkv, feat_pool, meta, smeta, slots, key
+        )
+        out = jnp.concatenate([
+            y.reshape(-1),
+            jax.lax.bitcast_convert_type(lps, jnp.int32).reshape(-1),
+            n_accept.reshape(-1),
+        ])
+        return kv, dkv, fp, out
+
+    def _decode_impl(
         self, tparams, dparams, kv, dkv, feat_pool,
         meta: ForwardMeta, smeta: SamplingMeta, slots, key,
     ):
@@ -561,22 +607,44 @@ class SpecRunner:
         """Spec decode step. Returns (tokens [B, K+1], logprobs [B, K+1],
         n_accept [B])."""
         runner = self.runner
-        meta, smeta, B, Bp = self._bucket_meta(batch)
+        B = batch.batch_size
+        Bp = next_bucket(B, self.server_args.decode_bs_buckets)
+        pages = batch.page_table.shape[1]
+        Pp = min(pow2_bucket(pages, lo=1), runner.max_pages_per_req)
+        Pp = max(Pp, pages)
         slots = self._slots_of(batch, Bp)
         runner._step_counter += 1
-        key = jax.random.fold_in(runner._base_key, runner._step_counter)
-        kv, dkv, fp, y, lps, n_accept = self._decode_step(
+        pad = self._pad
+        f32 = np.stack([
+            pad(batch.temperature, (Bp,)),
+            pad(batch.top_p, (Bp,), fill=1.0),
+            pad(batch.min_p, (Bp,)),
+        ]).ravel().view(np.int32)
+        packed = np.concatenate([
+            pad(batch.token_ids[:, 0], (Bp,)),
+            pad(batch.positions[:, 0], (Bp,)),
+            pad(batch.page_table, (Bp, Pp)).ravel(),
+            pad(batch.seq_lens, (Bp,), fill=1),
+            pad(batch.top_k, (Bp,), fill=1),
+            slots.astype(np.int32),
+            f32,
+            np.asarray([runner._step_counter], np.int32),
+        ])
+        kv, dkv, fp, out = self._decode_step_packed(
             runner.params, self.draft_params, runner.kv_pool.kv,
-            self.draft_kv.kv, self.feat_pool, meta, smeta,
-            jnp.asarray(slots), key,
+            self.draft_kv.kv, self.feat_pool, Bp, Pp, jnp.asarray(packed),
         )
         runner.kv_pool.kv = kv
         self.draft_kv.kv = dkv
         self.feat_pool = fp
-        n = np.asarray(n_accept)[:B]
+        out_np = np.asarray(out)
+        D1 = self.topo.max_depth + 1
+        y = out_np[: Bp * D1].reshape(Bp, D1)
+        lps = out_np[Bp * D1 : 2 * Bp * D1].view(np.float32).reshape(Bp, D1)
+        n = out_np[2 * Bp * D1 :].reshape(Bp)[:B]
         self.num_spec_steps += B
         self.num_accepted_tokens += int(n.sum())
-        return np.asarray(y)[:B], np.asarray(lps)[:B], n
+        return y[:B], lps[:B], n
 
 
 # ------------------------------------------------------------------ helpers
