@@ -39,6 +39,25 @@ class Router {
   Router(std::unique_ptr<Policy> policy, size_t trace_capacity)
       : policy_(std::move(policy)), trace_capacity_(trace_capacity) {}
 
+  ~Router() {
+    if (csv_) fclose(csv_);
+  }
+
+  // Per-request CSV metrics recorder (reference: sgl-router
+  // src/policies/marginal_utility_recorder.rs — the fork's experiment
+  // tooling writes router_test_*.csv traces consumed by
+  // gradient_optimizer.py / the 实验 analysis scripts).
+  void open_csv(const std::string& path) {
+    std::lock_guard<std::mutex> lk(mu_);
+    csv_ = fopen(path.c_str(), "a");
+    if (csv_ && ftell(csv_) == 0) {
+      fprintf(csv_,
+              "timestamp,rid,worker,latency_s,ok,outstanding,total,"
+              "policy\n");
+      fflush(csv_);
+    }
+  }
+
   void add_worker(const std::string& url) {
     std::lock_guard<std::mutex> lk(mu_);
     for (auto& w : workers_)
@@ -172,6 +191,19 @@ class Router {
       }
     traces_.push_back({rid, url, m.start_time, m.end_time, m.ok});
     while (traces_.size() > trace_capacity_) traces_.pop_front();
+    if (csv_) {
+      size_t outstanding = 0, total = 0;
+      for (auto& w : workers_)
+        if (w->url == url) {
+          outstanding = w->outstanding;
+          total = w->total;
+          break;
+        }
+      fprintf(csv_, "%.6f,%s,%s,%.6f,%d,%zu,%zu,%s\n", m.end_time,
+              rid.c_str(), url.c_str(), m.latency(), m.ok ? 1 : 0,
+              outstanding, total, policy_->name());
+      fflush(csv_);
+    }
   }
 
  private:
@@ -180,6 +212,7 @@ class Router {
   std::vector<std::unique_ptr<WorkerState>> workers_;
   std::deque<Trace> traces_;
   size_t trace_capacity_;
+  FILE* csv_ = nullptr;
 };
 
 // Forward req to worker `url`, streaming the response back to client_fd.
@@ -489,6 +522,7 @@ int main(int argc, char** argv) {
   int port = 8000;
   std::string policy_name = "round_robin";
   std::vector<std::string> workers, prefill_workers, decode_workers;
+  std::string metrics_csv;
   std::vector<double> probs;
   size_t trace_cap = 1000;
   int health_ms = 5000;  // 0 disables active health checks
@@ -503,6 +537,7 @@ int main(int argc, char** argv) {
     else if (a == "--worker") workers.push_back(next());
     else if (a == "--prefill-worker") prefill_workers.push_back(next());
     else if (a == "--decode-worker") decode_workers.push_back(next());
+    else if (a == "--metrics-csv") metrics_csv = next();
     else if (a == "--trace-capacity") trace_cap = std::stoul(next());
     else if (a == "--health-interval-ms") health_ms = std::stoi(next());
     else if (a == "--health-fail-threshold")
@@ -526,6 +561,7 @@ int main(int argc, char** argv) {
   Router router_obj(std::move(policy), trace_cap);
   g_router = &router_obj;
   for (auto& w : workers) router_obj.add_worker(w);
+  if (!metrics_csv.empty()) router_obj.open_csv(metrics_csv);
 
   // PD pairing mode (reference: pd_router.rs) — each side gets its own
   // least-outstanding selector, independent of --policy.

@@ -73,6 +73,7 @@ def launch_router(
     health_fail_threshold: int = 3,
     prefill_workers: Optional[List[str]] = None,
     decode_workers: Optional[List[str]] = None,
+    metrics_csv: Optional[str] = None,
 ) -> RouterHandle:
     """``prefill_workers``/``decode_workers`` switch the binary into PD
     pairing mode (reference: sgl-router pd_router.rs): every inference
@@ -91,6 +92,8 @@ def launch_router(
         cmd += ["--decode-worker", w]
     if probs:
         cmd += ["--probs", ",".join(str(p) for p in probs)]
+    if metrics_csv:
+        cmd += ["--metrics-csv", metrics_csv]
     proc = subprocess.Popen(cmd)
     handle = RouterHandle(proc, port)
     handle.wait_ready()

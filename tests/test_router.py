@@ -344,3 +344,30 @@ def test_pd_pairing_e2e(tiny_llama_path):
             th.join(timeout=5)
         prefill_e.shutdown()
         decode_e.shutdown()
+
+
+def test_metrics_csv_recorder(tmp_path):
+    """--metrics-csv writes a per-request trace CSV (reference:
+    sgl-router/src/policies/marginal_utility_recorder.rs — the fork's
+    router_test_*.csv experiment artifacts)."""
+    import csv as _csv
+
+    w = FakeWorker()
+    path = str(tmp_path / "router_test.csv")
+    handle = launch_router(
+        _free_port(), [w.url], policy="round_robin",
+        health_interval_ms=0, metrics_csv=path,
+    )
+    try:
+        for i in range(5):
+            _post(handle.base_url + "/generate", {"text": f"t{i}"})
+        with open(path) as f:
+            rows = list(_csv.DictReader(f))
+        assert len(rows) == 5
+        assert rows[0]["worker"] == w.url
+        assert rows[0]["policy"] == "round_robin"
+        assert float(rows[0]["latency_s"]) >= 0.0
+        assert rows[-1]["total"] == "5"
+    finally:
+        handle.shutdown()
+        w.stop()
