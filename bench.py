@@ -326,14 +326,18 @@ def run_decode_bench(cfg, quantization, num_pages, batch, prompt, decode,
     }
 
 
-def run_spec_bench(cfg, baseline_toks_per_s, batch=64, prompt=128,
+def run_spec_bench(cfg, baseline_toks_per_s, batch=8, prompt=128,
                    decode=128):
     """EAGLE speculative decode throughput on-chip (VERDICT r3 weak #5:
     no spec number in any artifact; reference anchor 158->244 tok/s =
-    1.54x, BASELINE.md). Dummy weights can't produce a real acceptance
-    rate, so this measures the FULL-ACCEPT throughput ceiling via
-    speculative_simulate_acc (reference analog: SIMULATE_ACC_LEN) — the
-    real speedup at acceptance rate a interpolates between 1x and this."""
+    1.54x on a SINGLE H100 stream, BASELINE.md). Speculation's regime is
+    SMALL-batch latency — at large batch plain decode already amortizes
+    the weight stream and verify re-reads it per ~4 tokens — so this
+    measures batch=8 and compares against a batch=8 plain-decode baseline
+    measured in the same run. Dummy weights can't produce a real
+    acceptance rate, so the number is the FULL-ACCEPT ceiling via
+    speculative_simulate_acc (reference analog: SIMULATE_ACC_LEN); the
+    real speedup at acceptance a interpolates between 1x and this."""
     import jax
 
     from sglang_custom_tpu.config.model_config import ModelConfig
@@ -400,11 +404,48 @@ def run_spec_bench(cfg, baseline_toks_per_s, batch=64, prompt=128,
     spec.num_spec_steps = spec.num_accepted_tokens = 0
     toks_per_s = run_once()
     accept_len = spec.avg_accept_len
+
+    # plain-decode baseline at the SAME batch size through the same
+    # scheduler (burst/overlap defaults) — the honest denominator
+    plain_args = ServerArgs(
+        model_path="", skip_tokenizer_init=True, context_length=2048,
+        page_size=32, schedule_policy="fcfs",
+    )
+    plain_runner = ModelRunner(
+        plain_args, cfg, params, mesh_ctx, num_pages=2048
+    )
+
+    def plain_once():
+        sched = Scheduler(plain_args, plain_runner)
+        for i, p in enumerate(prompts):
+            sched.add_request(
+                Req(
+                    rid=f"p{i}", input_ids=p,
+                    sampling_params=SamplingParams(
+                        max_new_tokens=decode, temperature=0.0,
+                        ignore_eos=True,
+                    ),
+                )
+            )
+        while sched.has_work and not sched.running_batch:
+            sched.step()
+        t0 = time.perf_counter()
+        n0 = sched.num_generated_tokens
+        while sched.has_work:
+            sched.step()
+        jax.effects_barrier()
+        dt = time.perf_counter() - t0
+        toks = sched.num_generated_tokens - n0
+        sched.tree_cache.reset()
+        return toks / dt
+
+    plain_once()  # compile
+    plain_toks = plain_once()
     return {
         "tok_per_s_full_accept": round(toks_per_s, 1),
-        "speedup_vs_plain_decode": round(
-            toks_per_s / baseline_toks_per_s, 3
-        ),
+        "tok_per_s_plain_same_batch": round(plain_toks, 1),
+        "speedup_vs_plain_decode": round(toks_per_s / plain_toks, 3),
+        "batch": batch,
         "avg_accept_len": round(accept_len, 2),
         "tree": "chain topk=1 depth=3 (4 draft tokens)",
         "note": "full-accept ceiling via speculative_simulate_acc "

@@ -275,10 +275,11 @@ class SpecRunner:
         return kv, dkv, feat_pool, tokens, logprobs
 
     @functools.partial(
-        jax.jit, static_argnums=(0, 6, 7), donate_argnums=(3, 4, 5),
+        jax.jit, static_argnums=(0, 6, 7, 8, 9), donate_argnums=(3, 4, 5),
     )
     def _decode_step_packed(
-        self, tparams, dparams, kv, dkv, feat_pool, B: int, P: int, packed
+        self, tparams, dparams, kv, dkv, feat_pool, B: int, P: int,
+        any_stoch: bool, any_filt: bool, packed
     ):
         """Packed single-upload/single-download spec decode step: over a
         remote-attached chip every host<->device array is a serial
@@ -314,7 +315,8 @@ class SpecRunner:
             jax.random.PRNGKey(self.server_args.random_seed), counter
         )
         kv, dkv, fp, y, lps, n_accept = self._decode_impl(
-            tparams, dparams, kv, dkv, feat_pool, meta, smeta, slots, key
+            tparams, dparams, kv, dkv, feat_pool, meta, smeta, slots, key,
+            any_stoch, any_filt,
         )
         out = jnp.concatenate([
             y.reshape(-1),
@@ -326,6 +328,7 @@ class SpecRunner:
     def _decode_impl(
         self, tparams, dparams, kv, dkv, feat_pool,
         meta: ForwardMeta, smeta: SamplingMeta, slots, key,
+        any_stoch: bool = True, any_filt: bool = True,
     ):
         """Fused tree-draft -> tree-verify -> accept-walk -> compact ->
         fix-up. Returns (kv, dkv, feat_pool, tokens [B, D+1],
@@ -390,7 +393,14 @@ class SpecRunner:
                     "bth,hv->btv", dh, dparams["lm_head"],
                     preferred_element_type=jnp.float32,
                 )
-            _, topk_idx = jax.lax.top_k(dlogits, topo.topk)  # [B, w, k]
+            # lax.top_k lowers to a FULL 128k-vocab sort on TPU —
+            # measured 350 ms per draft level at B=64 (round-4 ablation).
+            # Chain drafting needs only argmax; wider trees use the
+            # TPU-native approximate top-k (MIPS hardware path).
+            if topo.topk == 1:
+                topk_idx = jnp.argmax(dlogits, -1, keepdims=True)
+            else:
+                _, topk_idx = jax.lax.approx_max_k(dlogits, topo.topk)
             for child, prow, r in self.child_specs[d]:
                 vtok[child] = topk_idx[:, prow, r].astype(jnp.int32)
                 if eagle:
@@ -418,7 +428,9 @@ class SpecRunner:
             "bth,hv->btv", hidden, tparams["lm_head"],
             preferred_element_type=jnp.float32,
         )  # [B, N+1, V]
-        y = _sample_positions(all_logits, smeta, key)           # [B, N+1]
+        y = _sample_positions(
+            all_logits, smeta, key, any_stoch, any_filt
+        )  # [B, N+1]
         lps = _position_logprobs(all_logits, y)                 # [B, N+1]
 
         # ---- 3. acceptance walk: follow target samples down the tree
@@ -630,9 +642,11 @@ class SpecRunner:
             f32,
             np.asarray([runner._step_counter], np.int32),
         ])
+        any_stoch, any_filt = runner._sampling_flags(batch)
         kv, dkv, fp, out = self._decode_step_packed(
             runner.params, self.draft_params, runner.kv_pool.kv,
-            self.draft_kv.kv, self.feat_pool, Bp, Pp, jnp.asarray(packed),
+            self.draft_kv.kv, self.feat_pool, Bp, Pp,
+            any_stoch, any_filt, jnp.asarray(packed),
         )
         runner.kv_pool.kv = kv
         self.draft_kv.kv = dkv
@@ -658,8 +672,12 @@ def llama_like_features(model, params, cfg, meta, kv, backend):
     return model.forward(params, cfg, meta, kv, backend)
 
 
-def _sample_positions(all_logits, smeta: SamplingMeta, key):
-    """Per-position target sampling: [B, T, V] -> [B, T] i32."""
+def _sample_positions(all_logits, smeta: SamplingMeta, key,
+                      any_stoch: bool = True, any_filt: bool = True):
+    """Per-position target sampling: [B, T, V] -> [B, T] i32. The static
+    flags matter enormously: without them the greedy spec bench traced
+    the FILTERED sampler over [B*T, 128k] logits — a full-vocab sort per
+    verify position — and the fused step measured 1.7 s (round 4)."""
     B, T, V = all_logits.shape
     flat = all_logits.reshape(B * T, V)
     tiled = SamplingMeta(
@@ -668,7 +686,10 @@ def _sample_positions(all_logits, smeta: SamplingMeta, key):
         top_p=jnp.repeat(smeta.top_p, T),
         min_p=jnp.repeat(smeta.min_p, T),
     )
-    return sample(flat, tiled, key).reshape(B, T)
+    return sample(
+        flat, tiled, key,
+        any_stochastic=any_stoch, any_filtered=any_filt,
+    ).reshape(B, T)
 
 
 def _position_logprobs(all_logits, tokens):
