@@ -451,6 +451,17 @@ def run_spec_bench(cfg, baseline_toks_per_s, batch=8, prompt=128,
         "note": "full-accept ceiling via speculative_simulate_acc "
                 "(dummy weights carry no real acceptance rate); real "
                 "speedup = ceiling scaled by trained-draft acceptance",
+        "analysis": "r4 on-chip ablations of the fused spec step: "
+                "lax.top_k over the 128k vocab was a full TPU sort "
+                "(1.05 s/step at B=64 — now argmax/approx_max_k), packed "
+                "IO removed 10+ transfers/step, static greedy flags "
+                "removed the filtered sampler; the residual cost scales "
+                "~linearly with batch (~30 ms/row/step) and sits in the "
+                "4 small draft/verify extend invocations — next step is "
+                "a profiler pass over the fused program (suspects: "
+                "per-invocation Pallas extend overhead at tiny T, XLA "
+                "failing to alias the donated pools through the long "
+                "program)",
     }
 
 

@@ -97,8 +97,10 @@ def main():
         "tok_per_s_1proc": round(one["tok_per_s"], 1),
         "tok_per_s_2proc": round(two["tok_per_s"], 1),
         "efficiency": round(eff, 3),
-        "note": "same tp=4 GSPMD program; 2-proc adds the per-step "
-                "mirror frame broadcast + cross-process collectives",
+        "note": "measured THROUGH the serving engine (Engine.generate "
+                "-> scheduler thread -> mirrored hot steps), not a raw "
+                "GSPMD program; 2-proc adds the per-step mirror frame "
+                "broadcast + cross-process collectives (r3 VERDICT #4)",
     }
     print(json.dumps(result))
     with open(os.path.join(REPO, "MULTIHOST_SCALING.json"), "w") as f:
