@@ -73,6 +73,21 @@ class ModelConfig:
     scoring_func: str = "softmax"      # softmax | sigmoid
     # rope pair layout: interleaved (deepseek-v2 complex pairs) vs half-split
     rope_interleaved: bool = False
+    # --- Llama-4 extras (models/llama4.py) ---
+    # per-layer rope flags (HF no_rope_layers: 1 = USE rope); None = all rope
+    no_rope_layers: Optional[tuple] = None
+    # every Nth layer is MoE (1 = all layers); 0 = pure dense
+    interleave_moe_layer_step: int = 0
+    # dense layers' MLP width (intermediate_size is the expert width)
+    intermediate_size_mlp: int = 0
+    # NoPE-layer query temperature tuning (arXiv:2501.19399)
+    attn_temperature_tuning: bool = False
+    floor_scale: float = 8192.0
+    attn_scale: float = 0.1
+    # weightless L2 qk-norm after rope (vs qk_norm's learned RMS)
+    use_qk_norm_l2: bool = False
+    # chunked-local attention size on rope layers (0 = full causal)
+    attention_chunk_size: int = 0
     # fraction of head_dim that rotates (glm: 0.5); 1.0 = full rope
     partial_rotary_factor: float = 1.0
     # embedding model (bare `XxxModel` HF architecture, e.g. e5-mistral /
@@ -322,6 +337,24 @@ class ModelConfig:
                 cfg.get("rope_interleave", is_deepseek or arch.startswith("Glm"))
             ),
             partial_rotary_factor=cfg.get("partial_rotary_factor") or 1.0,
+            no_rope_layers=(
+                tuple(cfg["no_rope_layers"]) if cfg.get("no_rope_layers")
+                else None
+            ),
+            interleave_moe_layer_step=(
+                cfg.get("interleave_moe_layer_step") or 0
+            ) if arch.startswith("Llama4") else 0,
+            intermediate_size_mlp=cfg.get("intermediate_size_mlp") or 0,
+            attn_temperature_tuning=bool(
+                cfg.get("attn_temperature_tuning", False)
+            ),
+            floor_scale=cfg.get("floor_scale") or 8192.0,
+            attn_scale=cfg.get("attn_scale") or 0.1,
+            use_qk_norm_l2=bool(cfg.get("use_qk_norm", False))
+            and arch.startswith("Llama4"),
+            attention_chunk_size=(
+                cfg.get("attention_chunk_size") or 0
+            ) if arch.startswith("Llama4") else 0,
         )
 
     @staticmethod

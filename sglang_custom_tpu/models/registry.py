@@ -22,6 +22,7 @@ from sglang_custom_tpu.models import (
     gemma,
     glm,
     llama,
+    llama4,
     llava,
     mixtral,
     phi3,
@@ -37,6 +38,10 @@ MODEL_REGISTRY: Dict[str, types.ModuleType] = {
     "MistralForCausalLM": llama,
     "Qwen2ForCausalLM": llama,
     "Qwen3ForCausalLM": llama,
+    "Llama4ForCausalLM": llama4,
+    # text tower of the multimodal wrapper (config rewrite analog of
+    # Gemma3ForConditionalGeneration below)
+    "Llama4ForConditionalGeneration": llama4,
     "MixtralForCausalLM": mixtral,
     "Qwen3MoeForCausalLM": mixtral,
     "Phi3ForCausalLM": phi3,

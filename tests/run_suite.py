@@ -39,6 +39,7 @@ PER_COMMIT = [
     ("test_decode_burst.py", 90),
     ("test_input_logprobs.py", 90),
     ("test_router.py", 90),
+    ("test_swa_cache.py", 90),
 ]
 
 NIGHTLY = [
@@ -64,6 +65,7 @@ NIGHTLY = [
     ("test_disaggregation.py", 240),
     ("test_eval_harness.py", 300),
     ("test_data_parallel.py", 240),
+    ("test_eplb.py", 180),
 ]
 
 SUITES = {

@@ -252,3 +252,29 @@ def test_glm_golden(tmp_path_factory):
     torch.manual_seed(12)
     m = GlmForCausalLM(cfg)
     _golden_check(m, _save(m, tmp_path_factory, "tiny_glm"))
+
+
+def test_llama4_golden(tmp_path_factory):
+    """Llama-4 text: interleaved MoE (sigmoid top-1 routing + shared
+    expert), NoPE layers with attention temperature tuning, L2 qk-norm
+    (reference: srt/models/llama4.py)."""
+    from transformers import Llama4ForCausalLM, Llama4TextConfig
+
+    cfg = Llama4TextConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=48,
+        intermediate_size_mlp=96, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_local_experts=4, num_experts_per_tok=1,
+        interleave_moe_layer_step=2, max_position_embeddings=512,
+        tie_word_embeddings=False, attn_temperature_tuning=True,
+        use_qk_norm=True,
+    )
+    torch.manual_seed(11)
+    m = Llama4ForCausalLM(cfg)
+    global PROMPTS
+    old = PROMPTS
+    PROMPTS = [list(range(2, 30)), [1, 5, 9]]
+    try:
+        _golden_check(m, _save(m, tmp_path_factory, "tiny_llama4"))
+    finally:
+        PROMPTS = old
