@@ -358,6 +358,61 @@ static std::string json_num_field(const std::string& body,
 static Router* g_router = nullptr;
 static std::atomic<uint64_t> g_rid{0};
 
+// File-based service discovery (reference: sgl-router
+// src/service_discovery.rs:21,86 — a K8s pod watcher that add/removes
+// workers as endpoints come and go; here the environment-honest analog
+// watches a JSON file {"workers": ["http://...", ...]} that an external
+// orchestrator rewrites).
+static std::vector<std::string> parse_worker_list(const std::string& body) {
+  std::vector<std::string> urls;
+  auto k = body.find("\"workers\"");
+  if (k == std::string::npos) return urls;
+  auto lb = body.find('[', k);
+  auto rb = body.find(']', lb);
+  if (lb == std::string::npos || rb == std::string::npos) return urls;
+  size_t i = lb;
+  while (true) {
+    auto q0 = body.find('"', i);
+    if (q0 == std::string::npos || q0 > rb) break;
+    auto q1 = body.find('"', q0 + 1);
+    if (q1 == std::string::npos || q1 > rb) break;
+    urls.push_back(body.substr(q0 + 1, q1 - q0 - 1));
+    i = q1 + 1;
+  }
+  return urls;
+}
+
+static void discovery_tick(const std::string& path) {
+  FILE* f = fopen(path.c_str(), "r");
+  if (!f) return;
+  std::string body;
+  char buf[4096];
+  size_t n;
+  while ((n = fread(buf, 1, sizeof(buf), f)) > 0) body.append(buf, n);
+  fclose(f);
+  auto want = parse_worker_list(body);
+  if (want.empty() && body.find("\"workers\"") == std::string::npos) return;
+  auto have = g_router->worker_urls();
+  for (auto& u : want) {
+    bool known = false;
+    for (auto& h : have)
+      if (h == u) known = true;
+    if (!known) {
+      fprintf(stderr, "discovery: add %s\n", u.c_str());
+      g_router->add_worker(u);
+    }
+  }
+  for (auto& h : have) {
+    bool wanted = false;
+    for (auto& u : want)
+      if (h == u) wanted = true;
+    if (!wanted) {
+      fprintf(stderr, "discovery: remove %s\n", h.c_str());
+      g_router->remove_worker(h);
+    }
+  }
+}
+
 // ---------------------------------------------------- PD disaggregation
 // C++ port of the pairing router (reference: sgl-router/src/routers/
 // pd_router.rs select_worker_pair + bootstrap-room injection; the Python
@@ -523,6 +578,8 @@ int main(int argc, char** argv) {
   std::string policy_name = "round_robin";
   std::vector<std::string> workers, prefill_workers, decode_workers;
   std::string metrics_csv;
+  std::string discovery_file;
+  int discovery_ms = 2000;
   std::vector<double> probs;
   size_t trace_cap = 1000;
   int health_ms = 5000;  // 0 disables active health checks
@@ -538,6 +595,9 @@ int main(int argc, char** argv) {
     else if (a == "--prefill-worker") prefill_workers.push_back(next());
     else if (a == "--decode-worker") decode_workers.push_back(next());
     else if (a == "--metrics-csv") metrics_csv = next();
+    else if (a == "--discovery-file") discovery_file = next();
+    else if (a == "--discovery-interval-ms")
+      discovery_ms = std::stoi(next());
     else if (a == "--trace-capacity") trace_cap = std::stoul(next());
     else if (a == "--health-interval-ms") health_ms = std::stoi(next());
     else if (a == "--health-fail-threshold")
@@ -575,6 +635,17 @@ int main(int argc, char** argv) {
     for (auto& w : decode_workers) pd_d->add_worker(w);
     g_pd_prefill = pd_p.get();
     g_pd_decode = pd_d.get();
+  }
+
+  if (!discovery_file.empty()) {
+    discovery_tick(discovery_file);  // initial sync before serving
+    std::thread([discovery_file, discovery_ms]() {
+      while (true) {
+        std::this_thread::sleep_for(
+            std::chrono::milliseconds(discovery_ms));
+        discovery_tick(discovery_file);
+      }
+    }).detach();
   }
 
   if (health_ms > 0) {

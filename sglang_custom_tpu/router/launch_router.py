@@ -74,6 +74,8 @@ def launch_router(
     prefill_workers: Optional[List[str]] = None,
     decode_workers: Optional[List[str]] = None,
     metrics_csv: Optional[str] = None,
+    discovery_file: Optional[str] = None,
+    discovery_interval_ms: int = 2000,
 ) -> RouterHandle:
     """``prefill_workers``/``decode_workers`` switch the binary into PD
     pairing mode (reference: sgl-router pd_router.rs): every inference
@@ -94,6 +96,9 @@ def launch_router(
         cmd += ["--probs", ",".join(str(p) for p in probs)]
     if metrics_csv:
         cmd += ["--metrics-csv", metrics_csv]
+    if discovery_file:
+        cmd += ["--discovery-file", discovery_file,
+                "--discovery-interval-ms", str(discovery_interval_ms)]
     proc = subprocess.Popen(cmd)
     handle = RouterHandle(proc, port)
     handle.wait_ready()

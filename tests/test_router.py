@@ -371,3 +371,50 @@ def test_metrics_csv_recorder(tmp_path):
     finally:
         handle.shutdown()
         w.stop()
+
+
+def test_file_service_discovery(tmp_path):
+    """File-watch service discovery (reference: sgl-router
+    src/service_discovery.rs — K8s pod watcher; here a JSON worker list
+    an orchestrator rewrites): workers appear/disappear without restarts
+    or /add_worker calls."""
+    import json as _json
+    import time as _t
+
+    w1, w2 = FakeWorker(), FakeWorker()
+    disc = tmp_path / "workers.json"
+    disc.write_text(_json.dumps({"workers": [w1.url]}))
+    handle = launch_router(
+        _free_port(), policy="round_robin", health_interval_ms=0,
+        discovery_file=str(disc), discovery_interval_ms=100,
+    )
+    try:
+        _, lw = _get(handle.base_url + "/list_workers")
+        assert lw["urls"] == [w1.url]
+
+        # orchestrator scales up
+        disc.write_text(_json.dumps({"workers": [w1.url, w2.url]}))
+        deadline = _t.monotonic() + 5
+        while _t.monotonic() < deadline:
+            _, lw = _get(handle.base_url + "/list_workers")
+            if set(lw["urls"]) == {w1.url, w2.url}:
+                break
+            _t.sleep(0.05)
+        assert set(lw["urls"]) == {w1.url, w2.url}
+
+        # scales down to only w2
+        disc.write_text(_json.dumps({"workers": [w2.url]}))
+        deadline = _t.monotonic() + 5
+        while _t.monotonic() < deadline:
+            _, lw = _get(handle.base_url + "/list_workers")
+            if lw["urls"] == [w2.url]:
+                break
+            _t.sleep(0.05)
+        assert lw["urls"] == [w2.url]
+        for _ in range(3):
+            _post(handle.base_url + "/generate", {"text": "x"})
+        assert w2.count >= 3 and w1.count == 0
+    finally:
+        handle.shutdown()
+        w1.stop()
+        w2.stop()
