@@ -510,6 +510,14 @@ def main():
         batch=BATCH, prompt=PROMPT, decode=DECODE,
         roofline_gbps=roofline_gbps, attr=True,
     )
+    # The chip's speed drifts on minute scales behind the tunnel; a probe
+    # taken only BEFORE the bench has measured below the bench's own
+    # achieved bandwidth (a nonsense vs_baseline > 1). Bracket: re-probe
+    # after and score against the best ceiling observed.
+    roofline_gbps = max(roofline_gbps, measure_roofline_gbps())
+    primary["vs_baseline"] = round(
+        primary["achieved_gbps"] / roofline_gbps, 3
+    )
 
     # North-star model class: Llama-3-8B W4A16 (BASELINE.json). Smaller
     # batch + page pool so weights (~4 GB int4) + KV fit one chip. Drop
