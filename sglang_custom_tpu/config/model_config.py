@@ -208,6 +208,19 @@ class ModelConfig:
                 },
             )
             return mc
+        if arch == "Llama4ForConditionalGeneration":
+            # multimodal wrapper: Scout/Maverick checkpoints keep the text
+            # geometry (no_rope_layers, interleave_moe_layer_step, ...) in
+            # a nested text_config — unwrap like the Gemma3 branch so the
+            # text tower parses with real values (reference:
+            # srt/models/mllama4.py serves the text tower the same way)
+            text = dict(cfg["text_config"])
+            text["architectures"] = ["Llama4ForCausalLM"]
+            text.setdefault("vocab_size", cfg.get("vocab_size", 202048))
+            mc = ModelConfig.from_hf_dict(text)
+            return dataclasses.replace(
+                mc, architecture="Llama4ForConditionalGeneration"
+            )
         if arch == "Gemma3ForConditionalGeneration":
             # multimodal wrapper: serve the text tower (reference:
             # srt/models/gemma3_causal.py handles the text config likewise)

@@ -54,6 +54,13 @@ class ServerArgs:
     watchdog_abort: bool = False       # kill the process on watchdog fire
     crash_dump_folder: Optional[str] = None  # last-requests dump on failure
     enable_nan_detection: bool = False # check fetched logprobs for NaN
+    # Allow "module:function" custom_logit_processor specs in requests
+    # (reference: --enable-custom-logit-processor server_args.py; the spec
+    # is IMPORTED and invoked server-side, so it must be opt-in — an
+    # unauthenticated /generate client must not get arbitrary-module
+    # import). In-process callables via the Python Engine API are always
+    # allowed (JSON cannot carry a callable).
+    enable_custom_logit_processor: bool = False
     # KV event stream for external cache observers (reference:
     # disaggregation/kv_events.py ZmqEventPublisher; drained via
     # Engine.get_kv_events / GET /get_kv_events)

@@ -172,11 +172,23 @@ class Engine:
         self._sessions: Dict[str, List[int]] = {}
         self._released = False
         self.eplb_manager = None
+        # EPLB's weight permute assumes the mixtral param layout
+        # (params['layers'][router/gate_proj/up_proj/down_proj] stacked
+        # experts) with ungrouped routing; DeepSeek's dense/moe split tree,
+        # router bias, and group-limited routing, and Llama-4's interleaved
+        # moe_layers sub-tree are not permutable by it (r4 advisor).
+        _EPLB_ARCHS = {"MixtralForCausalLM", "Qwen3MoeForCausalLM"}
         if (
             server_args.enable_eplb
             and self.model_config.num_experts > 0
             and not self._dp_serving
         ):
+            if self.model_config.architecture not in _EPLB_ARCHS:
+                raise ValueError(
+                    "--enable-eplb supports only the stacked-expert mixtral "
+                    f"layout ({sorted(_EPLB_ARCHS)}); "
+                    f"{self.model_config.architecture} is not supported"
+                )
             from sglang_custom_tpu.eplb.eplb_manager import EPLBManager
 
             self.eplb_manager = EPLBManager(
@@ -361,6 +373,17 @@ class Engine:
                 req.lora_slot = self.lora_manager.slot_of(lora_path[i])
                 req.lora_scaling = float(self.lora_manager.scales[req.lora_slot])
             p = req.sampling_params
+            if (
+                isinstance(p.custom_logit_processor, str)
+                and not self.server_args.enable_custom_logit_processor
+            ):
+                # String specs are imported+invoked server-side; never
+                # honor them from an untrusted request unless explicitly
+                # enabled (reference: --enable-custom-logit-processor).
+                raise ValueError(
+                    "custom_logit_processor module specs require "
+                    "--enable-custom-logit-processor"
+                )
             if p.regex is not None or p.json_schema is not None:
                 compiled = self._get_grammar_backend().get(
                     regex=p.regex, json_schema=p.json_schema
@@ -721,26 +744,46 @@ class Engine:
         result = {"first_token": None, "rid": None}
         stats = {"chunks_before_first_token": 0, "n_chunks": 0}
 
-        def gather(page_ids):
+        def gather(lo, hi):
             """Dispatch a page gather ON the scheduler thread (enqueue-
             ordered against steps; in-order device execution makes the
-            read race-free), wait on the transfer worker."""
-            done = {"evt": threading.Event()}
+            read race-free), wait on the transfer worker. Page ids are
+            snapshotted INSIDE the posted closure: req.page_list is not
+            append-only — _publish_unfinished swaps it to equivalent-
+            content tree pages (freeing duplicates) and retraction clears
+            it — so ids cached on the transfer thread can be freed and
+            rewritten before the gather dispatches (r4 advisor). Reading
+            on-thread is atomic w.r.t. both. Returns None when the pages
+            are momentarily unavailable (retraction); caller retries."""
+            done = {"evt": threading.Event(), "out": None, "n": 0}
 
             def g():
-                padded = list(page_ids) + [0] * (
-                    _pow2(max(len(page_ids), 1)) - len(page_ids)
-                )
-                done["out"] = _gather_pages_jit(
-                    self.runner.kv_pool.kv, jnp.asarray(padded, jnp.int32)
-                )
+                pl = req.page_list
+                if len(pl) >= hi:
+                    page_ids = list(pl[lo:hi])
+                else:
+                    # retracted or already finished: the computed prefix
+                    # lives in the radix tree
+                    m = self.scheduler.tree_cache.match_prefix(input_ids)
+                    page_ids = (
+                        list(m.pages[lo:hi]) if len(m.pages) >= hi else []
+                    )
+                if page_ids:
+                    padded = page_ids + [0] * (
+                        _pow2(max(len(page_ids), 1)) - len(page_ids)
+                    )
+                    done["n"] = len(page_ids)
+                    done["out"] = _gather_pages_jit(
+                        self.runner.kv_pool.kv,
+                        jnp.asarray(padded, jnp.int32),
+                    )
                 done["evt"].set()
 
             self.scheduler_thread.post(g)
             assert done["evt"].wait(60), "pd gather dispatch timed out"
-            return np.moveaxis(np.asarray(done["out"]), 2, 0)[
-                : len(page_ids)
-            ]
+            if done["out"] is None:
+                return None
+            return np.moveaxis(np.asarray(done["out"]), 2, 0)[: done["n"]]
 
         def tail_gather(n_sent):
             """Remaining pages after the request finished: its page_list
@@ -773,7 +816,6 @@ class Engine:
             stats["n_chunks"] = stream.n_chunks
             cp = sender.CHUNK_PAGES
             try:
-                pages_seen = []  # stable whole-page ids snapshotted live
                 while stream.sent < stream.n_chunks:
                     if prefill_done.is_set():
                         arr = tail_gather(stream.sent)
@@ -782,22 +824,20 @@ class Engine:
                                 stream.sent, arr[off : off + cp]
                             )
                         break
-                    # page_list grows append-only while the request runs
+                    # pace on computed progress; ids re-read at gather time
                     stable = min(req.computed_len // ps, n_total)
-                    pl_now = req.page_list
-                    if len(pages_seen) < stable and len(pl_now) >= stable:
-                        pages_seen.extend(
-                            pl_now[len(pages_seen) : stable]
-                        )
                     sent_any = False
                     while (
                         stream.sent < stream.n_chunks
-                        and min((stream.sent + 1) * cp, n_total)
-                        <= len(pages_seen)
+                        and min((stream.sent + 1) * cp, n_total) <= stable
                     ):
                         lo = stream.sent * cp
                         hi = min(lo + cp, n_total)
-                        arr = gather(pages_seen[lo:hi])
+                        arr = gather(lo, hi)
+                        if arr is None:
+                            # retracted between pacing check and dispatch:
+                            # wait for the re-prefill to recompute them
+                            break
                         stats["chunks_before_first_token"] += (
                             0 if prefill_done.is_set() else 1
                         )
@@ -938,7 +978,7 @@ class Engine:
                 )
                 runner.params = params
                 # KV computed under the old weights is stale.
-                scheduler.tree_cache.reset()
+                self._reset_kv_caches(scheduler)
             self.server_args.model_path = model_path
             return {"success": True, "message": "weights updated"}
         except Exception as e:  # keep serving on the old weights
@@ -1022,7 +1062,7 @@ class Engine:
             for runner, scheduler in self._replica_views():
                 n = apply_named_tensors(runner, tensors)
                 # KV computed under the old weights is stale.
-                scheduler.tree_cache.reset()
+                self._reset_kv_caches(scheduler)
             return {"success": True, "applied": n}
         except Exception as e:  # keep serving on the old weights
             return {"success": False, "message": str(e)}
@@ -1058,7 +1098,7 @@ class Engine:
         (reference: release_memory_occupation scheduler.py:2524 +
         torch_memory_saver_adapter.py)."""
         self.scheduler_thread.pause(drain=True)
-        self.scheduler.tree_cache.reset()
+        self._reset_kv_caches(self.scheduler)
         self.kv_shape = self.runner.kv_pool.kv.shape
         self.runner.kv_pool.kv.delete()
         self._released = True
@@ -1097,11 +1137,22 @@ class Engine:
             return [(r.runner, r.scheduler) for r in self.replicas]
         return [(self.runner, self.scheduler)]
 
+
+    @staticmethod
+    def _reset_kv_caches(scheduler):
+        """Weight swap / flush invalidates ALL cached KV: the plain radix
+        tree AND the SWA dual-table state — SWARadixCache.insert_merge
+        prefers live tree pages, so leaving the SWA tree populated would
+        serve stale-window KV after an update (r4 advisor)."""
+        scheduler.tree_cache.reset()
+        if getattr(scheduler, "swa", None) is not None:
+            scheduler.swa.reset()
+
     def flush_cache(self) -> None:
         """Drop the radix cache (reference: /flush_cache http_server.py:403)."""
         for _, scheduler in self._replica_views():
             assert not scheduler.has_work
-            scheduler.tree_cache.reset()
+            self._reset_kv_caches(scheduler)
 
     def get_server_info(self) -> Dict[str, Any]:
         info = self.scheduler_thread.stats()

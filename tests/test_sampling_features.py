@@ -200,15 +200,22 @@ def test_custom_logit_processor(engine):
     )
     assert out["output_ids"] == [3, 3, 3]
 
-    # importable "module:function" form (the HTTP-friendly spelling)
-    out2 = engine.generate(
-        input_ids=[5, 6, 7],
-        sampling_params={
-            "max_new_tokens": 3, "temperature": 0.0, "ignore_eos": True,
-            "custom_logit_processor":
-                "tests.test_sampling_features:_force_token_3",
-        },
-    )
+    # importable "module:function" form (the HTTP-friendly spelling) is
+    # gated: it imports arbitrary modules server-side, so it must be
+    # rejected unless --enable-custom-logit-processor is set (reference:
+    # server_args.py enable_custom_logit_processor)
+    spec = {
+        "max_new_tokens": 3, "temperature": 0.0, "ignore_eos": True,
+        "custom_logit_processor":
+            "tests.test_sampling_features:_force_token_3",
+    }
+    with pytest.raises(ValueError, match="enable-custom-logit-processor"):
+        engine.generate(input_ids=[5, 6, 7], sampling_params=spec)
+    engine.server_args.enable_custom_logit_processor = True
+    try:
+        out2 = engine.generate(input_ids=[5, 6, 7], sampling_params=spec)
+    finally:
+        engine.server_args.enable_custom_logit_processor = False
     assert out2["output_ids"] == [3, 3, 3]
 
 
