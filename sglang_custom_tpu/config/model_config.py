@@ -105,6 +105,10 @@ class ModelConfig:
     vision: Optional[dict] = None
     # placeholder token id marking image positions in input_ids
     image_token_id: int = -1
+    # multimodal rope (Qwen2-VL family): frequency pairs per (t, h, w)
+    # position channel; None = standard rope (reference: rope_scaling
+    # mrope_section, forward_batch_info.py:484 mrope positions)
+    mrope_section: Optional[tuple] = None
 
     @property
     def is_multimodal(self) -> bool:
@@ -170,7 +174,14 @@ class ModelConfig:
 
     @staticmethod
     def from_hf_dict(cfg: dict) -> "ModelConfig":
-        arch = (cfg.get("architectures") or ["LlamaForCausalLM"])[0]
+        arch = (cfg.get("architectures") or [None])[0]
+        if arch is None:
+            # some multimodal checkpoints keep architectures only in the
+            # nested text_config; fall back to the top-level model_type
+            arch = {
+                "qwen2_5_vl": "Qwen2_5_VLForConditionalGeneration",
+                "llava": "LlavaForConditionalGeneration",
+            }.get(cfg.get("model_type"), "LlamaForCausalLM")
         if arch in ("LlavaForConditionalGeneration",
                     "LlavaLlamaForCausalLM"):
             # llava = llama/vicuna text tower + CLIP vision tower + 2-layer
@@ -208,6 +219,52 @@ class ModelConfig:
                 },
             )
             return mc
+        if arch == "Qwen2_5_VLForConditionalGeneration":
+            # Qwen2.5-VL: Qwen2 text trunk (attention bias) + windowed ViT
+            # + mrope (reference: srt/models/qwen2_5_vl.py; mrope positions
+            # forward_batch_info.py:484). Old checkpoints keep text fields
+            # flat; transformers >= 4.52 nests them under text_config.
+            text = dict(cfg["text_config"]) if "text_config" in cfg else dict(cfg)
+            text["architectures"] = ["Qwen2ForCausalLM"]
+            text.pop("quantization_config", None)
+            if not text.get("use_sliding_window", False):
+                # qwen2 configs carry a sliding_window value that is OFF
+                # unless use_sliding_window is set
+                text.pop("sliding_window", None)
+                text.pop("layer_types", None)
+            mc = ModelConfig.from_hf_dict(text)
+            vc = dict(cfg["vision_config"])
+            rs = text.get("rope_scaling") or cfg.get("rope_scaling") or {}
+            mrope = rs.get("mrope_section")
+            vision = {
+                "type": "qwen2_5_vl",
+                "hidden_size": vc["hidden_size"],
+                "depth": vc.get("depth", 32),
+                "num_heads": vc.get("num_heads", 16),
+                "intermediate_size": vc["intermediate_size"],
+                "out_hidden_size": vc.get("out_hidden_size", mc.hidden_size),
+                "patch_size": vc.get("patch_size", 14),
+                "temporal_patch_size": vc.get("temporal_patch_size", 2),
+                "spatial_merge_size": vc.get("spatial_merge_size", 2),
+                "window_size": vc.get("window_size", 112),
+                "fullatt_block_indexes": list(
+                    vc.get("fullatt_block_indexes", [])
+                ),
+                "in_channels": vc.get("in_channels", 3),
+                # dynamic-resolution bounds (HF Qwen2VLImageProcessor)
+                "min_pixels": 56 * 56,
+                "max_pixels": 12845056,
+                "image_mean": [0.48145466, 0.4578275, 0.40821073],
+                "image_std": [0.26862954, 0.26130258, 0.27577711],
+                "image_size": 0,  # dynamic resolution — no fixed size
+            }
+            return dataclasses.replace(
+                mc,
+                architecture=arch,
+                vision=vision,
+                image_token_id=cfg.get("image_token_id", 151655),
+                mrope_section=tuple(mrope) if mrope else None,
+            )
         if arch == "Llama4ForConditionalGeneration":
             # multimodal wrapper: Scout/Maverick checkpoints keep the text
             # geometry (no_rope_layers, interleave_moe_layer_step, ...) in

@@ -161,10 +161,10 @@ class Engine:
         if self.model_config.is_multimodal:
             from sglang_custom_tpu.multimodal import (
                 MultimodalCache,
-                MultimodalProcessor,
+                create_processor,
             )
 
-            self.mm_processor = MultimodalProcessor(self.model_config)
+            self.mm_processor = create_processor(self.model_config)
             self.mm_cache = MultimodalCache()
 
         self._eos_ids = self._collect_eos_ids()
@@ -310,10 +310,15 @@ class Engine:
 
     def _prepare_mm(self, ids, image_data):
         """Preprocess + encode images, expand placeholder tokens.
-        Returns (expanded_ids, mm_embeds [n,H] f32, mm_positions [n])."""
+        Returns (expanded_ids, mm_embeds [n,H] f32, mm_positions [n],
+        mrope_pos [3,L]|None, mrope_delta)."""
         import numpy as np
 
-        from sglang_custom_tpu.multimodal import expand_image_tokens
+        from sglang_custom_tpu.multimodal import (
+            QwenVLProcessor,
+            expand_image_tokens,
+            qwen_mrope_positions,
+        )
 
         if self.mm_processor is None:
             raise ValueError("image_data given but model is not multimodal")
@@ -321,6 +326,35 @@ class Engine:
             image_data and isinstance(image_data[0], (int, float))
         ):
             image_data = [image_data]
+
+        if isinstance(self.mm_processor, QwenVLProcessor):
+            # dynamic resolution: per-image patch grids, mrope positions
+            v = self.model_config.vision
+            M2 = v.get("spatial_merge_size", 2) ** 2
+            hashes, feats, grids = [], {}, []
+            for img in image_data:
+                patches, grid, h = self.mm_processor.preprocess(img)
+                hashes.append(h)
+                grids.append(grid)
+                cached = self.mm_cache.get(h)
+                if cached is None:
+                    cached = self.runner.encode_images_qwen(patches, grid)
+                    self.mm_cache.put(h, cached)
+                feats[h] = cached
+            counts = [t * gh * gw // M2 for t, gh, gw in grids]
+            new_ids, spans = expand_image_tokens(
+                ids, hashes, self.model_config, counts=counts
+            )
+            mrope_pos, delta = qwen_mrope_positions(
+                len(new_ids), spans, grids,
+                v.get("spatial_merge_size", 2),
+            )
+            mm_embeds = np.concatenate([feats[h] for h in hashes])
+            mm_positions = np.concatenate(
+                [np.arange(s, s + n) for s, n in spans]
+            )
+            return new_ids, mm_embeds, mm_positions, mrope_pos, delta
+
         hashes, feats, misses = [], {}, []
         for img in image_data:
             px, h = self.mm_processor.preprocess(img)
@@ -342,7 +376,7 @@ class Engine:
         mm_positions = np.concatenate(
             [np.arange(s, s + n) for s, n in spans]
         )
-        return new_ids, mm_embeds, mm_positions
+        return new_ids, mm_embeds, mm_positions, None, 0
 
     def _submit(
         self, input_ids, sampling_params, rid=None, lora_path=None,
@@ -356,10 +390,11 @@ class Engine:
             image_data = [None] * len(input_ids)
         states = []
         for i, (ids, sp) in enumerate(zip(input_ids, sampling_params)):
-            mm_embeds = mm_positions = None
+            mm_embeds = mm_positions = mrope_pos = None
+            mrope_delta = 0
             if image_data[i] is not None:
-                ids, mm_embeds, mm_positions = self._prepare_mm(
-                    ids, image_data[i]
+                ids, mm_embeds, mm_positions, mrope_pos, mrope_delta = (
+                    self._prepare_mm(ids, image_data[i])
                 )
             req = make_request(
                 ids, sp, self._eos_ids,
@@ -367,6 +402,8 @@ class Engine:
             )
             req.mm_embeds = mm_embeds
             req.mm_positions = mm_positions
+            req.mrope_pos = mrope_pos
+            req.mrope_delta = mrope_delta
             if lora_path[i]:
                 if self.lora_manager is None:
                     raise ValueError("lora_path given but --enable-lora is off")

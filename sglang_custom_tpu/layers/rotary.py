@@ -60,6 +60,26 @@ def rope_cos_sin(positions: jnp.ndarray, inv_freq: jnp.ndarray):
     return jnp.cos(angles), jnp.sin(angles)
 
 
+def mrope_cos_sin(positions3: jnp.ndarray, inv_freq: jnp.ndarray,
+                  sections) -> tuple:
+    """Multimodal rope (Qwen2-VL family). positions3 [B, 3, T] carries
+    (temporal, height, width) position channels; ``sections`` gives how
+    many frequency PAIRS take each channel (sums to head_dim/2; reference:
+    rotary_embedding.py MRotaryEmbedding + HF apply_multimodal_rotary_
+    pos_emb — their full-dim split [*sections, *sections] is the same
+    per-pair selection). Text tokens carry equal channels, which makes
+    this collapse to standard rope."""
+    angles = positions3[..., None].astype(jnp.float32) * inv_freq
+    # [B, 3, T, D/2] -> select channel per pair
+    chan = np.concatenate([
+        np.full((s,), i, np.int32) for i, s in enumerate(sections)
+    ])
+    oh = jnp.asarray(np.eye(3, dtype=np.float32)[chan].T)  # [3, D/2]
+    cos = jnp.einsum("bctp,cp->btp", jnp.cos(angles), oh)
+    sin = jnp.einsum("bctp,cp->btp", jnp.sin(angles), oh)
+    return cos, sin
+
+
 def apply_rope_interleaved(
     x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
 ) -> jnp.ndarray:

@@ -92,6 +92,11 @@ class Req:
         # embedding scatter). None = text-only request.
         self.mm_embeds: Optional[np.ndarray] = None     # [n, H] f32
         self.mm_positions: Optional[np.ndarray] = None  # [n] i64
+        # mrope (Qwen2-VL family): 3-channel positions over the expanded
+        # prompt + the decode-time shift (multimodal/processor.py
+        # qwen_mrope_positions). None/0 = standard rope.
+        self.mrope_pos: Optional[np.ndarray] = None     # [3, L_prompt] i32
+        self.mrope_delta: int = 0
 
         # KV state
         self.page_list: List[int] = []   # pages backing fill_ids[:computed_len]
@@ -244,6 +249,11 @@ class HostBatch:
     # multimodal embedding override for this extend window (None = text-only)
     mm_override: Optional[np.ndarray] = None  # [B, T, H] f32
     mm_mask: Optional[np.ndarray] = None      # [B, T] bool
+    # mrope: 3-channel positions for extend windows overlapping image
+    # spans; decode / text-suffix steps carry only the per-row shift
+    # (rope positions = positions + rope_delta). None on non-mrope models.
+    mrope_positions: Optional[np.ndarray] = None  # [B, 3, T] i32
+    rope_delta: Optional[np.ndarray] = None       # [B] i32
     # SWA layers' page table (hybrid window models; None otherwise)
     page_table_swa: Optional[np.ndarray] = None
     # per-row custom logit processors (host-sampling cold path); None when
@@ -402,6 +412,35 @@ def build_batch(
             mm_override[i, cols] = r.mm_embeds[sel]
             mm_mask[i, cols] = True
 
+    # mrope (Qwen2-VL): 3-channel positions only when this window overlaps
+    # a prompt region that may contain image spans; otherwise the per-row
+    # shift (rope_delta) reproduces the equal-channel suffix positions.
+    mrope_positions = None
+    rope_delta = None
+    if any(r.mrope_pos is not None or r.mrope_delta for r in reqs):
+        rope_delta = np.asarray(
+            [r.mrope_delta for r in reqs], np.int32
+        )
+        if is_extend and any(
+            r.mrope_pos is not None and base(r) < r.mrope_pos.shape[1]
+            for r in reqs
+        ):
+            mrope_positions = np.zeros((B, 3, T), np.int32)
+            for i, (r, e) in enumerate(zip(reqs, extend_lens)):
+                c = base(r)
+                tr = np.arange(c, c + e, dtype=np.int32)
+                mp = r.mrope_pos
+                if mp is None:
+                    row = np.broadcast_to(tr, (3, e))
+                else:
+                    L = mp.shape[1]
+                    row = np.where(
+                        tr[None, :] < L,
+                        mp[:, np.clip(tr, 0, L - 1)],
+                        tr[None, :] + r.mrope_delta,
+                    )
+                mrope_positions[i, :, :e] = row
+
     return HostBatch(
         reqs=reqs,
         is_extend=is_extend,
@@ -424,6 +463,8 @@ def build_batch(
         ilp_valid=ilp_valid,
         mm_override=mm_override,
         mm_mask=mm_mask,
+        mrope_positions=mrope_positions,
+        rope_delta=rope_delta,
         slot_ids=slot_ids,
         use_slots=virtual and not is_extend,
         gens=[r.gen for r in reqs],

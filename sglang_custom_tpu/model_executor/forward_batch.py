@@ -54,6 +54,11 @@ class ForwardMeta:
     # stays fully attended; None = causal.
     tree_mask: jax.Array = None                 # [T, N] bool or None
     tree_start: jax.Array = None                # [B] int32 or None
+    # --- multimodal rope (Qwen2-VL family; reference: mrope positions
+    # forward_batch_info.py:484): 3-channel (t, h, w) positions for extend
+    # windows that overlap image spans. None everywhere else — decode and
+    # text-only steps use rope_positions = positions + mrope_delta.
+    mrope_positions: jax.Array = None           # [B, 3, T] int32 or None
 
     @property
     def batch_size(self) -> int:

@@ -106,6 +106,9 @@ class ModelRunner:
             cfg.sliding_window
             and getattr(self.model, "SUPPORTS_SWA_TABLES", False)
         )
+        # mrope models (Qwen2-VL family) carry a per-row rope shift in the
+        # hot frame; static per model so every host packs the same layout.
+        self._mrope = bool(cfg.mrope_section)
         self.context_len = server_args.context_length or cfg.max_position_embeddings
         self.max_pages_per_req = (
             self.context_len + self.page_size - 1
@@ -310,6 +313,14 @@ class ModelRunner:
                 else batch.page_table
             )
             parts_swa = [pad(pts, (Bp, Pp)).ravel()]
+        parts_mrope = []
+        if self._mrope:
+            rd = (
+                batch.rope_delta
+                if batch.rope_delta is not None
+                else np.zeros((batch.batch_size,), np.int32)
+            )
+            parts_mrope = [pad(rd, (Bp,))]
         return np.concatenate([
             pad(batch.token_ids, (Bp, Tp)).ravel(),
             pad(batch.positions, (Bp, Tp)).ravel(),
@@ -319,6 +330,7 @@ class ModelRunner:
             pad(batch.extend_lens, (Bp,), fill=1),
             pad(batch.top_k, (Bp,), fill=1),
             pad(slot_ids, (Bp,)),  # padding rows -> scratch slot 0
+            *parts_mrope,
             f32,
             np.asarray([self._step_counter], np.int32),
         ])
@@ -340,6 +352,10 @@ class ModelRunner:
         extend_lens = take(B, (B,))
         top_k = take(B, (B,))
         slot_ids = take(B, (B,))
+        rope_positions = None
+        if self._mrope:
+            # per-row mrope shift: equal-channel rope at positions + delta
+            rope_positions = positions + take(B, (B,))[:, None]
         f32 = jax.lax.bitcast_convert_type(take(3 * B, (3, B)), jnp.float32)
         counter = packed[o]
         if use_slots:
@@ -350,6 +366,7 @@ class ModelRunner:
             token_ids=token_ids, positions=positions, page_table=page_table,
             page_table_swa=page_table_swa,
             seq_lens=seq_lens, extend_lens=extend_lens,
+            rope_positions=rope_positions,
         )
         smeta = SamplingMeta(
             temperature=f32[0], top_k=top_k, top_p=f32[1], min_p=f32[2]
@@ -436,6 +453,10 @@ class ModelRunner:
             packed, B, T, P, tok_slots, use_slots
         )
 
+        rdelta = None
+        if meta.rope_positions is not None:
+            rdelta = meta.rope_positions[:, 0] - meta.positions[:, 0]
+
         def step_fn(carry, i):
             kv, tok, pos, seq_lens = carry
             m = ForwardMeta(
@@ -445,6 +466,9 @@ class ModelRunner:
                 page_table_swa=meta.page_table_swa,
                 seq_lens=seq_lens,
                 extend_lens=jnp.ones_like(seq_lens),
+                rope_positions=(
+                    (pos + rdelta)[:, None] if rdelta is not None else None
+                ),
             )
             hidden, kv = self.model.forward(
                 params, self.cfg, m, kv, self.attn_backend
@@ -496,6 +520,46 @@ class ModelRunner:
             )
         out = self._encode_images_jit(self.params, jnp.asarray(pixel_values))
         return np.asarray(out)[:N]
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _encode_qwen_jit(self, params, patches, hw_pos, wid, flags):
+        return self.model.encode_patches(
+            params, patches, hw_pos, wid, flags, self.cfg
+        )
+
+    def encode_images_qwen(
+        self, patches: "np.ndarray", grid
+    ) -> "np.ndarray":
+        """One dynamic-resolution Qwen2.5-VL image: window layout on the
+        host (models/vision_qwen.py qwen_vision_layout), dense masked ViT
+        on device, merged features returned in original raster order.
+        Patch count pads to a power of two for jit-cache stability."""
+        from sglang_custom_tpu.models.vision_qwen import (
+            full_flags,
+            qwen_vision_layout,
+        )
+
+        v = self.cfg.vision
+        M2 = v.get("spatial_merge_size", 2) ** 2
+        perm, inv_perm, wid, hw = qwen_vision_layout(grid, v)
+        N = patches.shape[0]
+        # merged-cell order -> window order at patch granularity
+        pperm = (perm[:, None] * M2 + np.arange(M2)).ravel()
+        pw = patches[pperm]
+        Np = pow2_bucket(N, lo=M2)
+        if Np != N:
+            pw = np.concatenate(
+                [pw, np.zeros((Np - N, pw.shape[1]), np.float32)]
+            )
+            hw = np.concatenate([hw, np.zeros((Np - N, 2), np.int32)])
+            wid = np.concatenate(
+                [wid, np.full((Np - N,), -1, np.int32)]
+            )
+        out = self._encode_qwen_jit(
+            self.params, jnp.asarray(pw), jnp.asarray(hw),
+            jnp.asarray(wid), jnp.asarray(full_flags(v)),
+        )
+        return np.asarray(out, np.float32)[: N // M2][inv_perm]
 
     def _step_embed_impl(self, params, kv, meta: ForwardMeta):
         """Embedding step: pooled, L2-normalized final hidden states instead
@@ -728,6 +792,9 @@ class ModelRunner:
             and batch.ilp_targets is None
             and batch.lora_ids is None
             and batch.mm_override is None
+            # 3-channel mrope windows ride the cold/mm path; rope_delta-only
+            # batches (decode, text suffixes) stay hot via the packed shift
+            and batch.mrope_positions is None
             and batch.custom_procs is None
         )
 
@@ -800,7 +867,8 @@ class ModelRunner:
         bmax = pow2_bucket(self.server_args.max_running_requests)
         pmax = pow2_bucket(self.max_pages_per_req)
         ntab = 2 if self.has_swa else 1
-        return 16 + bmax * (9 + ntab * pmax) + 1
+        nrow = 10 if self._mrope else 9
+        return 16 + bmax * (nrow + ntab * pmax) + 1
 
     def forward_hot_from_frame(self, header, packed) -> None:
         """Multihost follower: execute a hot step mirrored as a frame."""
@@ -878,6 +946,15 @@ class ModelRunner:
             return np.zeros((B,), np.int32), np.zeros((B,), np.float32)
 
         # Cold paths (penalties / grammar / input-logprobs): unpacked meta.
+        mrope_positions = rope_positions = None
+        if batch.mrope_positions is not None:
+            mrope_positions = jnp.asarray(
+                pad(batch.mrope_positions, (Bp, 3, Tp))
+            )
+        elif batch.rope_delta is not None:
+            rope_positions = jnp.asarray(pad(
+                batch.positions + batch.rope_delta[:, None], (Bp, Tp)
+            ))
         meta = ForwardMeta(
             token_ids=jnp.asarray(pad(batch.token_ids, (Bp, Tp))),
             positions=jnp.asarray(pad(batch.positions, (Bp, Tp))),
@@ -888,6 +965,8 @@ class ModelRunner:
             # and extend_len 1 so the last-token gather stays in bounds.
             seq_lens=jnp.asarray(pad(batch.seq_lens, (Bp,), fill=1)),
             extend_lens=jnp.asarray(pad(batch.extend_lens, (Bp,), fill=1)),
+            rope_positions=rope_positions,
+            mrope_positions=mrope_positions,
         )
         smeta = SamplingMeta(
             temperature=jnp.asarray(pad(batch.temperature, (Bp,))),

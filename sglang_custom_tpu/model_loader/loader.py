@@ -202,6 +202,10 @@ def load_weights(
                         path, idx, transpose = entry
                         w = full
                     if transpose:
+                        # conv-as-matmul weights (qwen2.5-vl patch embed
+                        # Conv3d [D, C, T, P, P]) flatten to [D, -1] first
+                        if w.ndim > 2:
+                            w = w.reshape(w.shape[0], -1)
                         w = np.ascontiguousarray(w.T)
                     dst = staging
                     for kpart in path[:-1]:

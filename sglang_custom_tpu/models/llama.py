@@ -198,7 +198,17 @@ def forward_features(
         x = jnp.where(mm_mask[..., None], mm_override.astype(x.dtype), x)
     inv_freq = jnp.asarray(rope_inv_freq(cfg))
     rp = meta.rope_positions if meta.rope_positions is not None else meta.positions
-    cos, sin = rope_cos_sin(rp, inv_freq)  # [B, T, D/2]
+    if cfg.mrope_section and meta.mrope_positions is not None:
+        # Qwen2-VL mrope: 3-channel positions over image spans. Decode
+        # and text-only extends ship equal channels via rope_positions
+        # (= positions + mrope_delta) instead — same math, 1/3 the data.
+        from sglang_custom_tpu.layers.rotary import mrope_cos_sin
+
+        cos, sin = mrope_cos_sin(
+            meta.mrope_positions, inv_freq, cfg.mrope_section
+        )
+    else:
+        cos, sin = rope_cos_sin(rp, inv_freq)  # [B, T, D/2]
 
     def layer_fn(carry, xs):
         x, kv = carry

@@ -24,6 +24,7 @@ from sglang_custom_tpu.models import (
     llama,
     llama4,
     llava,
+    qwen2_5_vl,
     mixtral,
     phi3,
 )
@@ -54,7 +55,8 @@ MODEL_REGISTRY: Dict[str, types.ModuleType] = {
     # multimodal wrapper: ModelConfig.from_hf_dict rewrites it to the text
     # tower (Gemma3ForCausalLM), but register for direct lookups too
     "Gemma3ForConditionalGeneration": gemma,
-    # vision-language (reference: srt/models/llava.py)
+    # vision-language (reference: srt/models/llava.py, qwen2_5_vl.py)
+    "Qwen2_5_VLForConditionalGeneration": qwen2_5_vl,
     "LlavaForConditionalGeneration": llava,
     "LlavaLlamaForCausalLM": llava,
     # reward / sequence classification (reference: srt/models/qwen2_rm.py,

@@ -160,7 +160,8 @@ _WIRE_FIELDS = (
     "seq_lens",
     "extend_lens", "temperature", "top_k", "top_p", "min_p", "penalties",
     "burst", "spec", "ilp_targets", "ilp_valid", "lora_ids", "lora_scale",
-    "is_embed", "mm_override", "mm_mask", "slot_ids", "use_slots",
+    "is_embed", "mm_override", "mm_mask", "mrope_positions",
+    "rope_delta", "slot_ids", "use_slots",
 )
 
 
