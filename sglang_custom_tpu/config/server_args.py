@@ -37,6 +37,12 @@ class ServerArgs:
     max_running_requests: int = 256
     max_prefill_tokens: int = 8192     # token budget per prefill batch
     chunked_prefill_size: int = 4096   # -1 disables chunking
+    # Ring-attention sequence-sharded prefill over the data axis
+    # (parallel/ring_prefill.py — SURVEY §7's net-new capability; the
+    # reference has no SP/CP at all). Long fresh prompts shard their
+    # token axis across the mesh instead of grinding on one device.
+    enable_ring_prefill: bool = False
+    ring_prefill_threshold: int = 4096  # min prompt tokens to use the ring
     disable_radix_cache: bool = False
     # Hierarchical (host-offload) KV cache (reference: --enable-hierarchical-cache,
     # hicache_ratio; mem_cache/hiradix_cache.py)

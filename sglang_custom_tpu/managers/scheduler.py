@@ -180,6 +180,7 @@ class Scheduler:
         if (
             self.enable_overlap
             and self.runner.is_hot_batch(batch)
+            and not self.runner.wants_ring(batch)
             and not batch.spec
             # expert-distribution recording runs the synchronous recorded
             # executable (model_runner._step_recorded); the hot packed
@@ -365,7 +366,26 @@ class Scheduler:
         self.tree_cache.inc_lock_ref(m.last_node)
 
         remaining = len(r.fill_ids) - cached_len
-        ext = min(remaining, self.server_args.chunked_prefill_size, budget.rem_tokens)
+        # Ring-eligible long fresh prompts are admitted WHOLE and alone:
+        # the sequence-sharded prefill wants the full token axis in one
+        # step (parallel/ring_prefill.py; chunking would serialize it).
+        ring_whole = (
+            not reqs
+            and cached_len == 0
+            and remaining >= self.server_args.ring_prefill_threshold
+            and r.mm_positions is None
+            and not r.sampling_params.needs_penalties
+            and r.grammar is None
+            and not r.lora_slot
+            and self.runner.ring_capable()
+        )
+        if ring_whole:
+            ext = remaining
+        else:
+            ext = min(
+                remaining, self.server_args.chunked_prefill_size,
+                budget.rem_tokens,
+            )
         if ext <= 0:
             self.tree_cache.dec_lock_ref(m.last_node)
             return False

@@ -109,6 +109,10 @@ class ModelRunner:
         # mrope models (Qwen2-VL family) carry a per-row rope shift in the
         # hot frame; static per model so every host packs the same layout.
         self._mrope = bool(cfg.mrope_section)
+        # Ring-attention sequence-sharded prefill (parallel/ring_prefill.py
+        # — SURVEY §7's net-new long-context capability). Built lazily on
+        # the first eligible long prompt.
+        self._ring = None
         self.context_len = server_args.context_length or cfg.max_position_embeddings
         self.max_pages_per_req = (
             self.context_len + self.page_size - 1
@@ -798,6 +802,95 @@ class ModelRunner:
             and batch.custom_procs is None
         )
 
+    def wants_ring(self, batch: HostBatch) -> bool:
+        """Route this batch through the sequence-sharded ring prefill
+        (parallel/ring_prefill.py)? Long single-request fresh prompts on a
+        data-axis > 1 mesh — the case where one device would otherwise
+        grind the whole O(T^2) prompt alone while the rest of the mesh
+        idles."""
+        sa = self.server_args
+        return (
+            self.ring_capable()
+            and batch.is_extend
+            and not batch.spec
+            and batch.batch_size == 1
+            and self.is_hot_batch(batch)
+            and batch.mrope_positions is None
+            and batch.rope_delta is None
+            and int(batch.extend_lens[0]) == int(batch.seq_lens[0])
+            and batch.token_ids.shape[1] >= sa.ring_prefill_threshold
+        )
+
+    def ring_capable(self) -> bool:
+        """Whether this runner can serve ring prefill at all (the
+        scheduler consults this before admitting a long prompt UNCHUNKED,
+        scheduler._admit_req)."""
+        sa = self.server_args
+        if not sa.enable_ring_prefill:
+            return False
+        from sglang_custom_tpu.parallel.ring_prefill import supports_ring
+
+        return (
+            self.kv_dtype in (jnp.bfloat16, jnp.float32)
+            and isinstance(self.params.get("lm_head"), jax.Array)
+            and supports_ring(self.cfg, self.mesh_ctx, sa.quantization)
+        )
+
+    def forward_ring_prefill(self, batch: HostBatch):
+        """One long prompt, token axis sharded over the data axis; same
+        (tokens, logprobs) contract as forward()."""
+        from sglang_custom_tpu.parallel.ring_prefill import RingPrefill
+
+        if self._ring is None:
+            self._ring = RingPrefill(
+                self.cfg, self.mesh_ctx, self.page_size, self.kv_pool.fmt
+            )
+        self._mirror("ring_prefill", batch)
+        B = 1
+        T = int(batch.extend_lens[0])
+        dp = self.mesh_ctx.dp_size
+        # pad T to a bucket multiple of dp; pad tokens write to the
+        # garbage page and never feed real queries (causal: pads trail)
+        unit = max(dp, 512)
+        Tp = (T + unit - 1) // unit * unit
+        ps = self.page_size
+        need_pages = (Tp + ps - 1) // ps
+        token_ids = self._pad(batch.token_ids[:, :T], (B, Tp))
+        positions = self._pad(batch.positions[:, :T], (B, Tp))
+        positions[0, T:] = np.arange(T, Tp)
+        page_table = self._pad(
+            batch.page_table, (B, max(need_pages, batch.page_table.shape[1]))
+        )  # pad pages -> 0 = garbage page
+        self._step_counter += 1
+        last, kv = self._ring(
+            self.params, jnp.asarray(token_ids), jnp.asarray(positions),
+            self.kv_pool.kv, jnp.asarray(page_table),
+            jnp.asarray([T - 1], jnp.int32),
+        )
+        self.kv_pool.kv = kv
+        logits = jnp.einsum(
+            "bh,hv->bv", last, self.params["lm_head"],
+            preferred_element_type=jnp.float32,
+        )
+        if self.cfg.final_logit_softcap:
+            logits = self.cfg.final_logit_softcap * jnp.tanh(
+                logits / self.cfg.final_logit_softcap
+            )
+        smeta = SamplingMeta(
+            temperature=jnp.asarray(batch.temperature),
+            top_k=jnp.asarray(batch.top_k),
+            top_p=jnp.asarray(batch.top_p),
+            min_p=jnp.asarray(batch.min_p),
+        )
+        key = jax.random.fold_in(self._base_key, self._step_counter)
+        tokens = sample(logits, smeta, key)
+        logprobs = compute_token_logprobs(logits, tokens)
+        if batch.slot_ids is not None:
+            self.write_tok_slots(
+                batch.slot_ids, np.asarray(tokens)
+            )
+        return np.asarray(tokens), np.asarray(logprobs)
+
     def forward_hot_async(self, batch: HostBatch):
         """Dispatch a hot-path step WITHOUT waiting for results. Returns an
         opaque handle for collect_hot(). With ``batch.use_slots`` the input
@@ -908,6 +1001,8 @@ class ModelRunner:
             # recorded executable (program mismatch would wedge collectives)
             and self.coordinator is None
         )
+        if self.wants_ring(batch):
+            return self.forward_ring_prefill(batch)
         if self.is_hot_batch(batch) and not recording:
             # Hot paths: one packed upload, one packed download. Delegation
             # first so the multi-host mirror sends exactly one op.

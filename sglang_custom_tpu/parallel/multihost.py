@@ -203,6 +203,8 @@ def follower_loop(runner, coord: Optional[MultihostCoordinator] = None) -> None:
             runner.forward_hot_async(batch_from_wire(op["batch"]))
         elif kind == "forward":
             runner.forward(batch_from_wire(op["batch"]))
+        elif kind == "ring_prefill":
+            runner.forward_ring_prefill(batch_from_wire(op["batch"]))
         elif kind == "update_weights_tensors":
             from sglang_custom_tpu.model_executor.weight_update import (
                 apply_named_tensors,
