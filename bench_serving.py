@@ -65,6 +65,10 @@ async def run_benchmark(args) -> MetricsCollector:
         output_len=args.output_len,
         vocab_size=args.vocab_size,
         seed=args.seed,
+        workload=args.workload,
+        max_input_len=args.max_input_len,
+        prefix_groups=args.prefix_groups,
+        prefix_frac=args.prefix_frac,
     )
     collector = MetricsCollector()
     reqs = list(gen.generate())
@@ -93,7 +97,18 @@ def main():
     p.add_argument("--output-len", type=int, default=64)
     p.add_argument("--vocab-size", type=int, default=32000)
     p.add_argument("--seed", type=int, default=0)
+    # ShareGPT-style replay (bundled length histogram, zero egress;
+    # reference: bench_serving_new.py dataset mode) + shared prefixes to
+    # exercise cache-aware routing
+    p.add_argument("--workload", default="uniform",
+                   choices=["uniform", "sharegpt"])
+    p.add_argument("--max-input-len", type=int, default=0)
+    p.add_argument("--prefix-groups", type=int, default=0)
+    p.add_argument("--prefix-frac", type=float, default=0.5)
     p.add_argument("--csv", default=None)
+    p.add_argument("--fork-csv", default=None,
+                   help="per-request CSV in the fork's router_test_*.csv "
+                        "schema")
     p.add_argument("--json", dest="json_out", default=None)
     args = p.parse_args()
 
@@ -102,6 +117,8 @@ def main():
     print(json.dumps(summary, indent=2))
     if args.csv:
         collector.to_csv(args.csv)
+    if args.fork_csv:
+        collector.to_fork_csv(args.fork_csv)
     if args.json_out:
         collector.to_json(args.json_out)
 

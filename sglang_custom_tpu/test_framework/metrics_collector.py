@@ -99,20 +99,35 @@ class MetricsCollector:
         def pct(xs, q):
             return float(np.percentile(xs, q)) if xs else None
 
+        ilens = [r.prompt_tokens for r in recs]
+        olens = [r.completion_tokens for r in recs]
         return {
             "num_finished": len(recs),
             "num_failed": sum(1 for r in recs if not r.ok),
             "duration_s": dur,
             "request_throughput_rps": len(recs) / max(dur, 1e-9),
             "output_token_throughput_tps": gen_tokens / max(dur, 1e-9),
+            "total_token_throughput_tps": (
+                (gen_tokens + sum(ilens)) / max(dur, 1e-9)
+            ),
+            "mean_input_len": float(np.mean(ilens)),
+            "p50_input_len": pct(ilens, 50),
+            "p95_input_len": pct(ilens, 95),
+            "mean_output_len": float(np.mean(olens)),
             "mean_ttft_s": float(np.mean(ttfts)) if ttfts else None,
             "p50_ttft_s": pct(ttfts, 50),
+            "p90_ttft_s": pct(ttfts, 90),
+            "p95_ttft_s": pct(ttfts, 95),
             "p99_ttft_s": pct(ttfts, 99),
             "mean_itl_s": float(np.mean(itls)) if itls else None,
             "p50_itl_s": pct(itls, 50),
+            "p90_itl_s": pct(itls, 90),
+            "p95_itl_s": pct(itls, 95),
             "p99_itl_s": pct(itls, 99),
             "mean_e2e_latency_s": float(np.mean(lats)),
             "p50_e2e_latency_s": pct(lats, 50),
+            "p90_e2e_latency_s": pct(lats, 90),
+            "p95_e2e_latency_s": pct(lats, 95),
             "p99_e2e_latency_s": pct(lats, 99),
         }
 
@@ -149,6 +164,38 @@ class MetricsCollector:
                     r.end_time, r.prompt_tokens, r.completion_tokens,
                     r.cached_tokens, r.ttft, r.itl, r.e2e_latency, r.ok,
                     r.error,
+                ])
+
+    def to_fork_csv(self, path: str) -> None:
+        """Per-request CSV in the FORK's schema (reference: repo-root
+        router_test_*.csv header), so the fork's plotting/analysis
+        pipelines consume our runs unchanged. Server-internal queue
+        timings the HTTP client cannot observe are left 0."""
+        cols = [
+            "req_id", "input_length", "decode_length", "arrival_time",
+            "to_server_time", "finish_time", "server_latency",
+            "total_latency", "ttft", "queue_time", "queue_time_in_server",
+            "pure_queue_time", "success", "error", "host",
+            "server_created_time", "server_first_token_time",
+            "queue_time_start", "queue_time_end",
+        ]
+        with self._lock:
+            recs = list(self.records.values())
+        t0 = min((r.send_time for r in recs), default=0.0)
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(cols)
+            for r in recs:
+                arr = r.send_time - t0
+                fin = (r.end_time - t0) if r.end_time else ""
+                lat = r.e2e_latency if r.e2e_latency is not None else ""
+                w.writerow([
+                    r.rid, r.prompt_tokens, r.completion_tokens, arr,
+                    arr, fin, lat, lat,
+                    r.ttft if r.ttft is not None else "",
+                    0.0, 0.0, 0.0, r.ok, r.error, r.worker,
+                    arr, (r.first_token_time - t0)
+                    if r.first_token_time else "", 0.0, 0.0,
                 ])
 
     def to_json(self, path: str) -> None:
