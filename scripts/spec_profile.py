@@ -51,7 +51,7 @@ def timeit(name, fn, *args, n=6):
         sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     ms = min(ts) * 1e3
-    print(f"{name:30s} {ms:9.2f} ms   (median {np.median(ts)*1e3:.2f})")
+    print(f"{name:30s} {ms:9.2f} ms   (median {np.median(ts)*1e3:.2f})", flush=True)
     return ms
 
 
@@ -113,25 +113,30 @@ def main():
     dkv0 = spec.draft_kv.kv
     fp0 = spec.feat_pool
 
-    # ---------------- full fused step (no donation so we can repeat)
-    def full(kv, dkv, fp):
+    # ---------------- full fused step (no donation so we can repeat).
+    # params MUST be jit ARGUMENTS: closure-captured arrays lower as
+    # inline constants and the tunnel ships those bytes per compile
+    # (4.19 GB -> the r5 first profiling attempt hung for 2 h).
+    def full(tp, dp, kv, dkv, fp):
         out = spec._decode_impl(
-            runner.params, spec.draft_params, kv, dkv, fp,
+            tp, dp, kv, dkv, fp,
             meta, smeta, slots, key, False, False)
         return out[3]
     jf = jax.jit(full)
-    t_full = timeit("full _decode_impl", jf, kv0, dkv0, fp0)
+    t_full = timeit("full _decode_impl", jf, runner.params,
+                    spec.draft_params, kv0, dkv0, fp0)
 
     # ---------------- plain decode step for scale
-    def plain(kv):
+    def plain(tp, kv):
         feats, kv = llama_like_features(
-            runner.model, runner.params, cfg, meta, kv, runner.attn_backend)
-        h = rms_norm(feats, runner.params["final_norm"], cfg.rms_norm_eps)
-        return runner.model.compute_last_logits(runner.params, h, meta)
-    t_plain = timeit("plain decode fwd+lm_head", jax.jit(plain), kv0)
+            runner.model, tp, cfg, meta, kv, runner.attn_backend)
+        h = rms_norm(feats, tp["final_norm"], cfg.rms_norm_eps)
+        return runner.model.compute_last_logits(tp, h, meta)
+    t_plain = timeit("plain decode fwd+lm_head", jax.jit(plain),
+                     runner.params, kv0)
 
     # ---------------- draft levels only
-    def draft_only(dkv, fp):
+    def draft_only(dp, dkv, fp):
         feats0 = fp[slots]
         x_s = meta.token_ids[:, 0]
         dbase = s_j - 1
@@ -156,9 +161,9 @@ def main():
             )
             feats_in = jnp.stack([feat_of[n] for n in F], axis=1)
             dh, dkv = spec.draft_model.forward(
-                spec.draft_params, draft_cfg, dmeta, dkv,
+                dp, draft_cfg, dmeta, dkv,
                 spec.spec_backend, feats_in)
-            dlogits = spec.draft_model.compute_logits(spec.draft_params, dh)
+            dlogits = spec.draft_model.compute_logits(dp, dh)
             topk_idx = jnp.argmax(dlogits, -1, keepdims=True)
             for child, prow, r in spec.child_specs[d]:
                 vtok[child] = topk_idx[:, prow, r].astype(jnp.int32)
@@ -166,10 +171,10 @@ def main():
         return jnp.stack(vtok, axis=1), dkv
     s_j = jnp.asarray(s)
     t_draft = timeit("draft levels (3 fwd+logits)", jax.jit(draft_only),
-                     dkv0, fp0)
+                     spec.draft_params, dkv0, fp0)
 
     # ---------------- draft forwards only (no lm_head einsum)
-    def draft_fwd_only(dkv, fp):
+    def draft_fwd_only(dp, dkv, fp):
         feats0 = fp[slots]
         dbase = s_j - 1
         acc = 0.0
@@ -191,16 +196,16 @@ def main():
             )
             feats_in = jnp.broadcast_to(feats0[:, None, :], (B, w, cfg.hidden_size))
             dh, dkv = spec.draft_model.forward(
-                spec.draft_params, draft_cfg, dmeta, dkv,
+                dp, draft_cfg, dmeta, dkv,
                 spec.spec_backend, feats_in)
             acc = acc + dh.sum()
         return acc, dkv
     t_dfwd = timeit("draft forwards (no logits)", jax.jit(draft_fwd_only),
-                    dkv0, fp0)
+                    spec.draft_params, dkv0, fp0)
 
     # ---------------- verify only
     vtokens = jnp.full((B, N + 1), 7, jnp.int32)
-    def verify_only(kv):
+    def verify_only(tp, kv):
         vidx = jnp.arange(N + 1, dtype=jnp.int32)
         vpos = s_j[:, None] + vidx[None, :]
         vdepth = jnp.asarray([0] + list(topo.depth), jnp.int32)
@@ -213,14 +218,14 @@ def main():
             tree_start=s_j,
         )
         feats, kv = llama_like_features(
-            runner.model, runner.params, cfg, vmeta, kv, spec.verify_backend)
-        hidden = rms_norm(feats, runner.params["final_norm"], cfg.rms_norm_eps)
+            runner.model, tp, cfg, vmeta, kv, spec.verify_backend)
+        hidden = rms_norm(feats, tp["final_norm"], cfg.rms_norm_eps)
         all_logits = jnp.einsum(
-            "bth,hv->btv", hidden, runner.params["lm_head"],
+            "bth,hv->btv", hidden, tp["lm_head"],
             preferred_element_type=jnp.float32)
         return all_logits.sum(), kv
     t_verify = timeit("verify (target T=4 + lm_head)", jax.jit(verify_only),
-                      kv0)
+                      runner.params, kv0)
 
     # ---------------- compact only
     path = jnp.tile(jnp.arange(D + 1, dtype=jnp.int32), (B, 1))
@@ -232,7 +237,7 @@ def main():
     # ---------------- fixup only
     out_tok = jnp.full((B, D + 1), 7, jnp.int32)
     featpath = jnp.zeros((B, D, cfg.hidden_size), runner.dtype)
-    def fixup_only(dkv):
+    def fixup_only(dp, dkv):
         fpos = s_j[:, None] + jnp.arange(D, dtype=jnp.int32)[None, :]
         fmeta = ForwardMeta(
             token_ids=out_tok[:, :D], positions=fpos,
@@ -240,16 +245,18 @@ def main():
             extend_lens=jnp.full((B,), D, jnp.int32),
         )
         _, dkv = spec.draft_model.forward(
-            spec.draft_params, draft_cfg, fmeta, dkv,
+            dp, draft_cfg, fmeta, dkv,
             spec.spec_backend, featpath)
         return dkv
-    t_fixup = timeit("draft fixup", jax.jit(fixup_only), dkv0)
+    t_fixup = timeit("draft fixup", jax.jit(fixup_only),
+                     spec.draft_params, dkv0)
 
     print(f"\nsum of parts ~ {t_draft + t_verify + t_compact + t_fixup:.2f}"
           f" ms vs full {t_full:.2f} ms; plain step {t_plain:.2f} ms")
 
     # memory analysis of full program
-    lowered = jax.jit(full).lower(kv0, dkv0, fp0)
+    lowered = jax.jit(full).lower(
+        runner.params, spec.draft_params, kv0, dkv0, fp0)
     ma = lowered.compile().memory_analysis()
     if ma is not None:
         print(f"temp {ma.temp_size_in_bytes/2**20:.1f} MiB, "

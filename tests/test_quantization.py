@@ -364,3 +364,38 @@ def test_w4a16_pallas_kernel_matches_dequant():
     err = np.abs(got_f - want_f)
     assert err.max() <= 0.05 * np.abs(want_f).max() + 0.05, err.max()
     assert err.mean() <= 0.01 * np.abs(want_f).mean() + 0.02, err.mean()
+
+
+def test_fp8_block_pallas_kernel_interpret():
+    """Pallas blockwise-fp8 kernel (ops/fp8_matmul.py
+    fp8_block_matmul_pallas) vs explicit dequant, interpret mode."""
+    import jax.numpy as jnp
+
+    from sglang_custom_tpu.layers.quantization.blockwise_fp8 import (
+        quantize_fp8_blockwise,
+    )
+    from sglang_custom_tpu.ops.fp8_matmul import (
+        fp8_block_matmul_pallas,
+        supported_shape_block,
+    )
+
+    K, N, B = 2048, 512, 128
+    assert supported_shape_block(K, N, B)
+    rng = np.random.RandomState(5)
+    w = rng.randn(K, N).astype(np.float32)
+    w *= (1 + 10 * rng.rand(K // B, 1, N // B, 1)).reshape(
+        K // B, 1, N // B, 1
+    ).repeat(B, 1).repeat(B, 3).reshape(K, N)
+    x = rng.randn(4, K).astype(np.float32)
+    qd = quantize_fp8_blockwise(w, block=B)
+    s_kn = jnp.repeat(jnp.asarray(qd["scales"]), B, axis=1)
+    got = np.asarray(fp8_block_matmul_pallas(
+        jnp.asarray(x), jnp.asarray(qd["qweight"]), s_kn, interpret=True
+    ), np.float32)
+    wd = (
+        np.asarray(qd["qweight"], np.float32).reshape(K // B, B, N // B, B)
+        * qd["scales"][:, None, :, None]
+    ).reshape(K, N)
+    want = x.astype(np.float32) @ wd
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 2e-2, rel
