@@ -307,12 +307,105 @@ class KimiK2Detector(BaseDetector):
         return normal, calls
 
 
+class Qwen3XmlDetector(BaseDetector):
+    """Qwen3 XML style (reference: qwen3_detector.py Qwen3XMLDetector):
+
+        <tool_call>
+        <function=name>
+        <parameter=key>
+        value
+        </parameter>
+        </function>
+        </tool_call>
+
+    Parameter values parse as JSON when they look like it (numbers,
+    bools, objects), else stay strings — matching the reference's
+    typed-parameter handling."""
+
+    start_marker = "<tool_call>"
+    _call_rx = re.compile(r"<tool_call>(.*?)</tool_call>", re.DOTALL)
+    _fn_rx = re.compile(r"<function=(.*?)>(.*?)</function>", re.DOTALL)
+    _param_rx = re.compile(
+        r"<parameter=(.*?)>(.*?)</parameter>", re.DOTALL
+    )
+
+    def parse(self, text: str):
+        calls = []
+        for block in self._call_rx.findall(text):
+            for fname, body in self._fn_rx.findall(block):
+                args = {}
+                for pname, pval in self._param_rx.findall(body):
+                    v = pval.strip("\n")
+                    j = _try_json(v)
+                    args[pname.strip()] = j if j is not None else v
+                calls.append(ToolCallItem(
+                    name=fname.strip(),
+                    arguments=json.dumps(args, ensure_ascii=False),
+                    tool_index=len(calls),
+                ))
+        normal = self._call_rx.sub("", text).strip()
+        return normal, calls
+
+
+class Glm4Detector(BaseDetector):
+    """GLM-4 style: ``name\\n{json args}`` after the model's tool-call
+    role, or ``<|tool_call|>name\\n{...}`` blocks (the GLM-4/ChatGLM
+    function-call wire format)."""
+
+    start_marker = "<|tool_call|>"
+    _rx = re.compile(
+        r"<\|tool_call\|>\s*([\w\.\-]+)\s*\n?\s*(\{.*?\})\s*(?=<\||$)",
+        re.DOTALL,
+    )
+
+    def has_tool_call(self, text: str) -> bool:
+        if self.start_marker in text:
+            return True
+        # bare "name\n{json}" form
+        lines = text.strip().split("\n", 1)
+        return (
+            len(lines) == 2
+            and re.fullmatch(r"[\w\.\-]+", lines[0].strip()) is not None
+            and lines[1].lstrip().startswith("{")
+        )
+
+    def parse(self, text: str):
+        calls = []
+        for name, args in self._rx.findall(text):
+            obj = _try_json(args)
+            if obj is not None:
+                calls.append(ToolCallItem(
+                    name=name,
+                    arguments=json.dumps(obj, ensure_ascii=False),
+                    tool_index=len(calls),
+                ))
+        normal = self._rx.sub("", text).replace(
+            self.start_marker, ""
+        ).strip()
+        if not calls:
+            lines = text.strip().split("\n", 1)
+            if len(lines) == 2:
+                obj = _try_json(lines[1].strip())
+                if obj is not None and re.fullmatch(
+                    r"[\w\.\-]+", lines[0].strip()
+                ):
+                    calls.append(ToolCallItem(
+                        name=lines[0].strip(),
+                        arguments=json.dumps(obj, ensure_ascii=False),
+                    ))
+                    normal = ""
+        return normal, calls
+
+
 _DETECTORS: Dict[str, type] = {
     "llama3": JsonDetector,
     "llama4": PythonicDetector,
     "json": JsonDetector,
     "qwen25": QwenDetector,
-    "qwen3": QwenDetector,
+    # qwen3 emits the XML parameter format (reference: qwen3_detector.py)
+    "qwen3": Qwen3XmlDetector,
+    "qwen3_xml": Qwen3XmlDetector,
+    "glm4": Glm4Detector,
     "mistral": MistralDetector,
     "deepseekv3": DeepSeekV3Detector,
     "pythonic": PythonicDetector,

@@ -181,3 +181,44 @@ class TestReasoningParser:
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
             ReasoningParser("nope")
+
+
+def test_qwen3_xml_detector():
+    """Qwen3 XML parameter format (reference: qwen3_detector.py)."""
+    from sglang_custom_tpu.parsers.function_call import FunctionCallParser
+
+    tools = [{"type": "function",
+              "function": {"name": "execute_bash", "parameters": {}}}]
+    p = FunctionCallParser(tools, format="qwen3")
+    text = ("let me check\n<tool_call>\n<function=execute_bash>\n"
+            "<parameter=command>\npwd && ls\n</parameter>\n"
+            "<parameter=timeout>\n30\n</parameter>\n"
+            "</function>\n</tool_call>")
+    normal, calls = p.parse_non_stream(text)
+    assert len(calls) == 1
+    assert calls[0].name == "execute_bash"
+    import json as _json
+
+    args = _json.loads(calls[0].arguments)
+    assert args["command"] == "pwd && ls"
+    assert args["timeout"] == 30
+    assert normal.strip() == "let me check"
+
+
+def test_glm4_detector():
+    from sglang_custom_tpu.parsers.function_call import FunctionCallParser
+
+    tools = [{"type": "function",
+              "function": {"name": "get_weather", "parameters": {}}}]
+    p = FunctionCallParser(tools, format="glm4")
+    import json as _json
+
+    normal, calls = p.parse_non_stream(
+        '<|tool_call|>get_weather\n{"city": "Beijing"}'
+    )
+    assert len(calls) == 1 and calls[0].name == "get_weather"
+    assert _json.loads(calls[0].arguments) == {"city": "Beijing"}
+
+    normal, calls = p.parse_non_stream('get_weather\n{"city": "SF"}')
+    assert len(calls) == 1
+    assert _json.loads(calls[0].arguments) == {"city": "SF"}
