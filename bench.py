@@ -473,6 +473,24 @@ def run_spec_bench(cfg, baseline_toks_per_s, batch=8, prompt=128,
     toks_per_s = run_once()
     accept_len = spec.avg_accept_len
 
+    # accept-rate sweep (VERDICT r4 task 7): simulated acceptance is a
+    # TRACED probability in the fused step, so sweep points reuse the
+    # compiled executable; B=1 warms its own batch bucket once. The
+    # regime map is (batch, accept_rate) -> tok/s.
+    sweep = {}
+    for nb in (batch, 1):
+        for p_acc in (1.0, 0.8, 0.6):
+            args.speculative_simulate_acc = p_acc
+            if nb != batch and p_acc == 1.0:
+                run_once(nb)  # warm the small-batch bucket
+            spec.num_spec_steps = spec.num_accepted_tokens = 0
+            tps = run_once(nb)
+            sweep[f"b{nb}_p{p_acc}"] = {
+                "tok_per_s": round(tps, 1),
+                "avg_accept_len": round(spec.avg_accept_len, 2),
+            }
+    args.speculative_simulate_acc = True
+
     # plain-decode baseline at the SAME batch size through the same
     # scheduler (burst/overlap defaults) — the honest denominator
     plain_args = ServerArgs(
@@ -509,27 +527,53 @@ def run_spec_bench(cfg, baseline_toks_per_s, batch=8, prompt=128,
 
     plain_once()  # compile
     plain_toks = plain_once()
+    # plain decode at B=1 for the small-batch speedup denominator
+    def plain_n(n_rows):
+        sched = Scheduler(plain_args, plain_runner)
+        for i, p in enumerate(prompts[:n_rows]):
+            sched.add_request(
+                Req(
+                    rid=f"q{i}", input_ids=p,
+                    sampling_params=SamplingParams(
+                        max_new_tokens=decode, temperature=0.0,
+                        ignore_eos=True,
+                    ),
+                )
+            )
+        while sched.has_work and not sched.running_batch:
+            sched.step()
+        t0 = time.perf_counter()
+        n0 = sched.num_generated_tokens
+        while sched.has_work:
+            sched.step()
+        jax.effects_barrier()
+        dt = time.perf_counter() - t0
+        toks = sched.num_generated_tokens - n0
+        sched.tree_cache.reset()
+        return toks / dt
+
+    plain_n(1)
+    plain_1 = plain_n(1)
+    for k in sweep:
+        base = plain_toks if k.startswith(f"b{batch}_") else plain_1
+        sweep[k]["speedup_vs_plain"] = round(
+            sweep[k]["tok_per_s"] / base, 3
+        )
+
     return {
         "tok_per_s_full_accept": round(toks_per_s, 1),
         "tok_per_s_plain_same_batch": round(plain_toks, 1),
+        "tok_per_s_plain_b1": round(plain_1, 1),
         "speedup_vs_plain_decode": round(toks_per_s / plain_toks, 3),
         "batch": batch,
         "avg_accept_len": round(accept_len, 2),
         "tree": "chain topk=1 depth=3 (4 draft tokens)",
-        "note": "full-accept ceiling via speculative_simulate_acc "
-                "(dummy weights carry no real acceptance rate); real "
-                "speedup = ceiling scaled by trained-draft acceptance",
-        "analysis": "r4 on-chip ablations of the fused spec step: "
-                "lax.top_k over the 128k vocab was a full TPU sort "
-                "(1.05 s/step at B=64 — now argmax/approx_max_k), packed "
-                "IO removed 10+ transfers/step, static greedy flags "
-                "removed the filtered sampler; the residual cost scales "
-                "~linearly with batch (~30 ms/row/step) and sits in the "
-                "4 small draft/verify extend invocations — next step is "
-                "a profiler pass over the fused program (suspects: "
-                "per-invocation Pallas extend overhead at tiny T, XLA "
-                "failing to alias the donated pools through the long "
-                "program)",
+        "spec_sweep": sweep,
+        "note": "accept-rate-swept ceilings via speculative_simulate_acc "
+                "(dummy weights carry no real acceptance rate); the r5 "
+                "KV-writer fix removed the 2 GiB/layer layout copies "
+                "that made the r4 spec step a 9x slowdown "
+                "(ops/kv_write.py)",
     }
 
 

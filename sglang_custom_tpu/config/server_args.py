@@ -43,6 +43,15 @@ class ServerArgs:
     # token axis across the mesh instead of grinding on one device.
     enable_ring_prefill: bool = False
     ring_prefill_threshold: int = 4096  # min prompt tokens to use the ring
+    # Double-sparsity decode attention (reference: --enable-double-sparsity
+    # + ds_* flags server_args.py:199-204, double_sparsity_backend.py):
+    # heavy-channel label cache + per-head token top-k at decode.
+    enable_double_sparsity: bool = False
+    ds_heavy_channels: int = 16        # label channels per kv head
+    ds_token_budget: int = 256         # top-k tokens attended per head
+    ds_recent: int = 64                # always-attended recent window
+    ds_min_seq: int = 1024             # dense below this padded context
+    ds_channel_config: Optional[str] = None  # .npz [L,Hkv,r] override
     disable_radix_cache: bool = False
     # Hierarchical (host-offload) KV cache (reference: --enable-hierarchical-cache,
     # hicache_ratio; mem_cache/hiradix_cache.py)

@@ -91,9 +91,18 @@ def _state_masks(dfa: DFA, index: TokenizerIndex) -> Tuple[np.ndarray, np.ndarra
 
 
 class Grammar:
-    """Per-request grammar state (reference: BaseGrammarObject)."""
+    """Per-request grammar state (reference: BaseGrammarObject). Factory:
+    CFG-compiled grammars (EBNF / recursive schemas, ebnf_engine.py)
+    return their own state object with the identical surface."""
+
+    def __new__(cls, compiled, eos_token_ids):
+        if hasattr(compiled, "make_state"):
+            return compiled.make_state(eos_token_ids)
+        return super().__new__(cls)
 
     def __init__(self, compiled: "_CompiledGrammar", eos_token_ids):
+        if hasattr(compiled, "make_state"):
+            return  # __new__ returned a CfgGrammar; nothing to init
         self.c = compiled
         self.state = compiled.dfa.start
         self.eos_token_ids = set(eos_token_ids)
@@ -112,6 +121,15 @@ class Grammar:
         if token_id in self.eos_token_ids:
             self.finished = True
             return bool(self.c.dfa.accepting[self.state])
+        nxt = int(self.c.next_state[self.state, token_id])
+        if nxt < 0:
+            return False
+        self.state = nxt
+        return True
+
+    def try_advance_token(self, token_id: int) -> bool:
+        """Advance iff the token is legal here; unchanged on failure
+        (jump-forward retokenization — scheduler._try_jump_forward)."""
         nxt = int(self.c.next_state[self.state, token_id])
         if nxt < 0:
             return False
@@ -148,9 +166,27 @@ class GrammarBackend:
         self._lock = threading.Lock()
 
     def get(self, regex: Optional[str] = None,
-            json_schema: Optional[str] = None) -> Optional[_CompiledGrammar]:
+            json_schema: Optional[str] = None,
+            ebnf: Optional[str] = None):
+        if ebnf is not None:
+            return self._get_cfg("ebnf:" + ebnf, ebnf)
         if json_schema is not None:
-            regex = json_schema_to_regex(json_schema)
+            from sglang_custom_tpu.constrained.ebnf_engine import (
+                json_schema_to_ebnf,
+                schema_is_regular,
+            )
+
+            if schema_is_regular(json_schema):
+                regex = json_schema_to_regex(json_schema)
+            else:
+                # $ref / recursive schemas exceed the regex DFA — compile
+                # through the CFG engine (reference: xgrammar
+                # from_json_schema handles these natively)
+                key = "schema:" + (
+                    json_schema if isinstance(json_schema, str)
+                    else repr(json_schema)
+                )
+                return self._get_cfg(key, json_schema_to_ebnf(json_schema))
         if regex is None:
             return None
         with self._lock:
@@ -166,6 +202,29 @@ class GrammarBackend:
             "compiled grammar: %d DFA states, regex %r", dfa.num_states,
             regex[:60],
         )
+        return compiled
+
+    def _get_cfg(self, key: str, ebnf: str):
+        with self._lock:
+            hit = self._cache.get(key)
+            if hit is not None:
+                return hit
+        from sglang_custom_tpu.constrained.ebnf_engine import (
+            CfgMatcher,
+            CompiledCfg,
+            TokenTrie,
+            parse_ebnf,
+        )
+
+        if not hasattr(self.index, "trie"):
+            self.index.trie = TokenTrie.build(self.index)
+        rules = parse_ebnf(ebnf)
+        compiled = CompiledCfg(
+            CfgMatcher(rules), self.index.trie, self.index
+        )
+        with self._lock:
+            self._cache[key] = compiled
+        logger.info("compiled CFG grammar: %d rules", len(rules))
         return compiled
 
 

@@ -197,6 +197,13 @@ class Engine:
                 min_recorded_steps=server_args.eplb_min_recorded_steps,
             )
         self.spec_runner = None
+        if server_args.speculative_algorithm and (
+            server_args.enable_double_sparsity
+        ):
+            raise ValueError(
+                "speculative decoding + double sparsity is not supported "
+                "(the spec pools don't carry label channels)"
+            )
         if server_args.speculative_algorithm:
             from sglang_custom_tpu.speculative.eagle_worker import (
                 create_spec_runner,
@@ -421,9 +428,13 @@ class Engine:
                     "custom_logit_processor module specs require "
                     "--enable-custom-logit-processor"
                 )
-            if p.regex is not None or p.json_schema is not None:
+            if (
+                p.regex is not None
+                or p.json_schema is not None
+                or p.ebnf is not None
+            ):
                 compiled = self._get_grammar_backend().get(
-                    regex=p.regex, json_schema=p.json_schema
+                    regex=p.regex, json_schema=p.json_schema, ebnf=p.ebnf
                 )
                 req.grammar = Grammar(compiled, self._eos_ids)
             states.append(self.scheduler_thread.submit(req))
@@ -1149,6 +1160,7 @@ class Engine:
         self.runner.kv_pool = KVCachePool.create(
             self.model_config, self.kv_shape[2], self.server_args.page_size,
             self.runner.kv_dtype, self.mesh_ctx,
+            extra_feat=getattr(self.runner, "kv_extra_feat", 0),
         )
         if hasattr(self.scheduler.tree_cache, "kv_pool"):
             # hierarchical cache transfers against the live pool object

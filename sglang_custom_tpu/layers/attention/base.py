@@ -63,8 +63,12 @@ def write_kv_pages(
     layer,
     meta: ForwardMeta,
     kv_scale: float = 1.0,
+    labels=None,
 ) -> jax.Array:
     """Scatter this step's K/V into layer ``layer`` of the paged pool.
+
+    ``labels``: optional [B, T, Hkv, r] heavy-channel labels appended after
+    the K|V fold (double-sparsity pools carry 2D + r features).
 
     Padding tokens (t >= extend_lens[b]) are routed to the garbage page 0 so
     the scatter stays branch-free (allocator.py GARBAGE_PAGE). In-place on a
@@ -76,7 +80,8 @@ def write_kv_pages(
     """
     import jax.numpy as jnp
 
-    kv_new = jnp.concatenate([k_new, v_new], axis=-1)  # [B, T, Hkv, 2D]
+    parts = [k_new, v_new] if labels is None else [k_new, v_new, labels]
+    kv_new = jnp.concatenate(parts, axis=-1)  # [B, T, Hkv, 2D(+r)]
     if kv_pool.dtype == jnp.float8_e4m3fn and kv_scale != 1.0:
         kv_new = kv_new / jnp.asarray(kv_scale, kv_new.dtype)
     return write_kv_pages_folded(kv_new, kv_pool, layer, meta)
@@ -93,16 +98,37 @@ def write_kv_pages_folded(
     B, T, Hkv, F = kv_new.shape
     L, _, P, ps = kv_pool.shape[:4]
     pos = meta.positions  # [B, T]
+    kv_new = kv_new.astype(kv_pool.dtype)
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and kv_pool.ndim == 5
+        and not os.environ.get("SGLANG_TPU_DISABLE_KV_WRITER")
+    ):
+        # Pallas page-granular writer: the XLA scatter pins a permuted
+        # pool layout that forces a 2 GiB layout-conversion copy per layer
+        # next to the layout-pinned Pallas attention calls (ops/kv_write.py
+        # docstring; r5 profiling found 14.6 ms/layer in spec verify and
+        # chunked prefill from exactly this).
+        from sglang_custom_tpu.ops.kv_write import (
+            paged_kv_write,
+            writer_supported,
+        )
+
+        if writer_supported(kv_pool):
+            return paged_kv_write(
+                kv_new, kv_pool, layer, meta.page_table, pos,
+                meta.extend_lens,
+            )
     page = jnp.take_along_axis(meta.page_table, pos // ps, axis=1)  # [B, T]
     valid = (
         jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
         < meta.extend_lens[:, None]
     )
-    slots = jnp.where(valid, page * ps + pos % ps, pos % ps)  # garbage page = 0
-    # Update layout [N, Hkv, F]: advanced indices (layer, slots) are
-    # separated by the head slice, so the index grid ([N]) leads.
-    kv_new = kv_new.reshape(B * T, Hkv, F).astype(kv_pool.dtype)
-    flat = kv_pool.reshape(L, Hkv, P * ps, F)
+    page = jnp.where(valid, page, 0)               # garbage page = 0
+    off = pos % ps
     # Not unique_indices: padding rows collide on garbage slot 0 by design.
-    flat = flat.at[layer, :, slots.reshape(-1)].set(kv_new, mode="drop")
-    return flat.reshape(kv_pool.shape)
+    return kv_pool.at[layer, :, page.reshape(-1), off.reshape(-1)].set(
+        kv_new.reshape(B * T, Hkv, F), mode="drop"
+    )

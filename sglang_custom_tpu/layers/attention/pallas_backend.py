@@ -121,11 +121,16 @@ class PallasAttentionBackend(AttentionBackend):
                     P(None, TENSOR_AXIS, None, None, None),
                     P(), P(None, None), P(None), P(None), P(),
                 ) + tree_specs,
-                out_specs=P(None, None, TENSOR_AXIS, None),
+                out_specs=(
+                    P(None, None, TENSOR_AXIS, None),
+                    P(None, TENSOR_AXIS, None, None, None),
+                ),
             )
         else:
             call = call_extend
-        out = call(
+        # The kernel returns the pool aliased-through (in-place read; see
+        # paged_attention_extend) — thread it like the decode path does.
+        out, kv_pool = call(
             q, kv_pool, jnp.asarray(layer, jnp.int32),
             meta.page_table, meta.seq_lens, meta.extend_lens, win, *extra,
         )

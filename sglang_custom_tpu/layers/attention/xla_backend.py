@@ -40,6 +40,11 @@ class XlaAttentionBackend(AttentionBackend):
         kv_pool = write_kv_pages(
             k_new, v_new, kv_pool, layer, meta, kv_scale=self.kv_scale
         )
+        out = self._attend(q, kv_pool, layer, meta, scale, window, softcap)
+        return out, kv_pool
+
+    def _attend(self, q, kv_pool, layer, meta, scale, window, softcap):
+        """Dense masked attention over the (already written) paged pool."""
         layer_kv = jax.lax.dynamic_index_in_dim(
             kv_pool, layer, axis=0, keepdims=False
         )
@@ -55,8 +60,10 @@ class XlaAttentionBackend(AttentionBackend):
             gathered = gathered.astype(q.dtype) * jnp.asarray(
                 self.kv_scale, q.dtype
             )
+        # explicit 2D bound: double-sparsity pools append label channels
+        # after the K|V fold (double_sparsity_backend.py)
         k = gathered[..., :D].reshape(Hkv, B, S, D)
-        v = gathered[..., D:].reshape(Hkv, B, S, D)
+        v = gathered[..., D:2 * D].reshape(Hkv, B, S, D)
 
         qg = q.reshape(B, T, Hkv, G, D)
         scores = jnp.einsum(
@@ -92,4 +99,4 @@ class XlaAttentionBackend(AttentionBackend):
             "bktgs,kbsd->btkgd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         )
-        return out.reshape(B, T, Hq, D).astype(q.dtype), kv_pool
+        return out.reshape(B, T, Hq, D).astype(q.dtype)

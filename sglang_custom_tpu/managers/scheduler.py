@@ -770,11 +770,9 @@ class Scheduler:
                 break
             if r.seq_len + len(accepted) + 1 >= self.runner.context_len:
                 break
-            nxt = int(r.grammar.c.next_state[r.grammar.state, tid])
-            if nxt < 0:
+            if not r.grammar.try_advance_token(int(tid)):
                 # retokenization mismatch against the forced byte path
                 break
-            r.grammar.state = nxt
             accepted.append(int(tid))
         if not accepted:
             return

@@ -35,7 +35,8 @@ from sglang_custom_tpu.config.model_config import ModelConfig
 from sglang_custom_tpu.parallel.mesh import MeshContext, TENSOR_AXIS
 
 
-def kv_cache_shape(cfg: ModelConfig, num_pages: int, page_size: int):
+def kv_cache_shape(cfg: ModelConfig, num_pages: int, page_size: int,
+                   extra_feat: int = 0):
     """Pool shape [L, Hkv, P, ps, F] with K and V of one token FOLDED along
     the minor axis (K at lanes [:D], V at [D:]). The fold is the canonical
     storage — not a view — so the Pallas kernels' default-layout constraint
@@ -46,9 +47,12 @@ def kv_cache_shape(cfg: ModelConfig, num_pages: int, page_size: int):
         # MLA latent pool (reference: MLATokenToKVPool memory_pool.py:769):
         # one (kv_lora_rank + rope_dim) latent per token as a "1-head" pool.
         return (cfg.num_layers, 1, num_pages, page_size, cfg.kv_dim_per_token)
+    # extra_feat: label channels appended after the K|V fold (double
+    # sparsity, layers/attention/double_sparsity_backend.py) — riding the
+    # same pages keeps the allocator/radix/PD machinery unchanged.
     return (
         cfg.num_layers, cfg.num_kv_heads, num_pages, page_size,
-        2 * cfg.head_dim,
+        2 * cfg.head_dim + extra_feat,
     )
 
 
@@ -92,8 +96,9 @@ class KVCachePool:
         page_size: int,
         dtype: jnp.dtype,
         mesh_ctx: MeshContext,
+        extra_feat: int = 0,
     ) -> "KVCachePool":
-        shape = kv_cache_shape(cfg, num_pages, page_size)
+        shape = kv_cache_shape(cfg, num_pages, page_size, extra_feat)
         sharding = kv_cache_sharding(
             mesh_ctx, 1 if cfg.is_mla else cfg.num_kv_heads
         )

@@ -119,8 +119,13 @@ class ModelRunner:
         ) // self.page_size
 
         num_pages = num_pages or server_args.max_num_pages or self._profile_num_pages()
+        self.kv_extra_feat = (
+            server_args.ds_heavy_channels
+            if server_args.enable_double_sparsity else 0
+        )
         self.kv_pool = KVCachePool.create(
-            cfg, num_pages, self.page_size, self.kv_dtype, mesh_ctx
+            cfg, num_pages, self.page_size, self.kv_dtype, mesh_ctx,
+            extra_feat=self.kv_extra_feat,
         )
         logger.info(
             "KV pool: %d pages x %d tokens (%.2f GiB)",
@@ -210,6 +215,9 @@ class ModelRunner:
     def _create_attn_backend(self):
         """Backend dispatch (reference: model_runner.py:1313): Pallas on TPU,
         XLA reference elsewhere or when forced."""
+        sa = self.server_args
+        if sa.enable_double_sparsity:
+            return self._create_ds_backend()
         choice = self.server_args.attention_backend
         if choice == "auto":
             on_tpu = any(
@@ -254,6 +262,42 @@ class ModelRunner:
             )
         return XlaAttentionBackend(
             kv_scale=getattr(self.server_args, "kv_cache_scale", 1.0)
+        )
+
+    def _create_ds_backend(self):
+        """Double-sparsity backend (layers/attention/
+        double_sparsity_backend.py; reference flags server_args.py:199-204).
+        The pool gains r label channels (extra_feat) — geometry the Pallas
+        kernels don't speak, so DS always runs the XLA-path wrapper."""
+        sa = self.server_args
+        from sglang_custom_tpu.layers.attention.double_sparsity_backend import (
+            DoubleSparsityBackend,
+            channels_from_weights,
+        )
+
+        if self.cfg.is_mla or self.cfg.sliding_window:
+            raise ValueError(
+                "--enable-double-sparsity supports dense GQA/MHA models "
+                "(no MLA latent pools, no sliding-window layers)"
+            )
+        if not isinstance(self.params["layers"].get("q_proj"), jax.Array):
+            raise ValueError(
+                "--enable-double-sparsity needs unquantized q/k projections "
+                "for weight-based channel selection (or pass "
+                "--ds-channel-config)"
+            )
+        if sa.ds_channel_config:
+            ch = np.load(sa.ds_channel_config)["channels"].astype(np.int32)
+        else:
+            ch = channels_from_weights(
+                self.params, self.cfg, r=sa.ds_heavy_channels
+            )
+        return DoubleSparsityBackend(
+            ch,
+            token_budget=sa.ds_token_budget,
+            recent=sa.ds_recent,
+            min_seq=sa.ds_min_seq,
+            kv_scale=getattr(sa, "kv_cache_scale", 1.0),
         )
 
     # ------------------------------------------------------------- mem sizing
@@ -826,7 +870,7 @@ class ModelRunner:
         scheduler consults this before admitting a long prompt UNCHUNKED,
         scheduler._admit_req)."""
         sa = self.server_args
-        if not sa.enable_ring_prefill:
+        if not sa.enable_ring_prefill or sa.enable_double_sparsity:
             return False
         from sglang_custom_tpu.parallel.ring_prefill import supports_ring
 

@@ -372,10 +372,15 @@ def _extend_kernel(
     # grid cell owns whole (sublane, lane) tiles — Mosaic disallows
     # dynamically-offset sub-tile stores, so head grouping happens in the
     # BlockSpec layout, not in the kernel.
+    # kv_alias_ref is the pool ALIASED as an output and never written: it
+    # makes the read in-place so XLA stops inserting a defensive full-pool
+    # copy per scan layer around the custom call (r5 profile: ~13 ms/layer
+    # — 16 x 2 GiB copies dominated spec verify AND chunked prefill).
     if tree:
-        tree_ref, o_ref, kv_scratch, sems = rest
+        tree_ref, o_ref, kv_alias_ref, kv_scratch, sems = rest
     else:
-        (o_ref, kv_scratch, sems), tree_ref = rest, None
+        (o_ref, kv_alias_ref, kv_scratch, sems), tree_ref = rest, None
+    del kv_alias_ref
     b = pl.program_id(0)
     tb = pl.program_id(1)
     ps = kv_scratch.shape[2] // kb
@@ -514,7 +519,8 @@ def _fold_q(q: jax.Array, fold: bool) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "q_block", "interpret", "softcap")
+    jax.jit, static_argnames=("scale", "q_block", "interpret", "softcap"),
+    donate_argnums=(1,),
 )
 def paged_attention_extend(
     q: jax.Array,            # [B, T, Hq, D]
@@ -601,23 +607,38 @@ def paged_attention_extend(
         num_scalar_prefetch=6,
         grid=(B, num_blocks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, num_kv_heads, TB, G, Dq), lambda b, tb, *_: (b, 0, tb, 0, 0)
+        out_specs=(
+            pl.BlockSpec(
+                (1, num_kv_heads, TB, G, Dq),
+                lambda b, tb, *_: (b, 0, tb, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, num_kv_heads, kb * ps, 2 * D), kv_pool.dtype),
             pltpu.SemaphoreType.DMA((2, kb)),
         ],
     )
-    out = pl.pallas_call(
+    # Args flatten as (pt, sl, el, win, layer, ts, qh, kvf[, tm]) -> the
+    # pool is input 7; aliasing it onto output 1 (returned unchanged) makes
+    # the read in-place — without it XLA copies the 2 GiB pool around the
+    # custom call at EVERY layer of the scan (see _extend_kernel comment).
+    out, kvf = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(qh.shape, q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct(qh.shape, q.dtype),
+            jax.ShapeDtypeStruct(kv_pool.shape, kv_pool.dtype),
+        ),
+        input_output_aliases={7: 1},
         interpret=interpret,
     )(*args)
     if fold:
         out = out[..., D:]  # V half of the folded accumulator
-    return out.transpose(0, 2, 1, 3, 4).reshape(B, Tp, Hq, D)[:, :T]
+    return (
+        out.transpose(0, 2, 1, 3, 4).reshape(B, Tp, Hq, D)[:, :T],
+        kvf,
+    )
 
 
 @functools.partial(

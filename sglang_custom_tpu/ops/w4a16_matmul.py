@@ -99,6 +99,94 @@ def _kernel(x_ref, q_ref, slo_ref, zlo_ref, shi_ref, zhi_ref, o_ref, acc,
         o_ref[:] = acc[:].astype(o_ref.dtype)
 
 
+def _kernel_v2(x_ref, q_ref, slo_ref, shi_ref, o_ref, acc,
+               *, ckp: int, half: int):
+    """Big-dot variant (r5, VERDICT task 2): scales apply to the
+    DEQUANTIZED nibbles in VMEM (2 VPU ops/weight: cvt + mul) and each
+    half contributes ONE [tb, ckp] x [ckp, tn] MXU dot per chunk — vs the
+    group-partial form's 16 small dots + 4 VPU ops per [tb, tn] partial
+    per group. The zero-point term leaves the kernel entirely:
+    out += rowsum_per_group(x) @ zeros runs as a tiny XLA matmul."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    q = q_ref[:].astype(jnp.int32)                 # [CKP, TILE_N]
+    gpc, tn = slo_ref.shape
+    G = ckp // gpc
+
+    def half_dot(vals, s_ref, x_off):
+        w = vals.astype(jnp.float32).reshape(gpc, G, tn)
+        w = (w * s_ref[:][:, None, :]).reshape(ckp, tn).astype(
+            jnp.bfloat16
+        )
+        xg = x_ref[:, pl.ds(x_off + k * ckp, ckp)]
+        acc[:] += jnp.dot(xg, w, preferred_element_type=jnp.float32)
+
+    half_dot(q & 0xF, slo_ref, 0)
+    half_dot(q >> 4, shi_ref, half)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def w4a16_matmul_pallas_v2(
+    x: jax.Array,        # [M, K] bf16/f32 activations
+    qweight: jax.Array,  # [K/2, N] uint8, split-nibble layout
+    scales: jax.Array,   # [K/G, N] f32
+    zeros: jax.Array,    # [K/G, N] f32
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    half, N = qweight.shape
+    Gn = scales.shape[0]
+    G = K // Gn
+    assert supported_shape(K, N, G), (K, N, G)
+    ckp = _ckp(G)
+    tb = min(TILE_B, max(8, M))
+    max_tb = max(8, (10 * 2**20 // (K * 4)) // 8 * 8)
+    tb = min(tb, max_tb)
+    Mp = pl.cdiv(M, tb) * tb
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    xb = x.astype(jnp.bfloat16)
+    gpc = GPC
+
+    grid = (Mp // tb, N // TILE_N, half // ckp)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, ckp=ckp, half=half),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, K), lambda b, n, k: (b, 0)),
+            pl.BlockSpec((ckp, TILE_N), lambda b, n, k: (k, n)),
+            pl.BlockSpec((gpc, TILE_N), lambda b, n, k: (k, n)),
+            pl.BlockSpec(
+                (gpc, TILE_N),
+                lambda b, n, k, *, off=half // G // gpc: (off + k, n),
+            ),
+        ],
+        out_specs=pl.BlockSpec((tb, TILE_N), lambda b, n, k: (b, n)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tb, TILE_N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xb, qweight, scales, scales)
+    # zero-point term: groups never straddle the half boundary
+    # (half % G == 0), so one [M, K/G] @ [K/G, N] covers both halves
+    xs = x.astype(jnp.float32).reshape(Mp, Gn, G).sum(-1)
+    out = out + jnp.matmul(
+        xs, zeros, preferred_element_type=jnp.float32
+    )
+    return out[:M]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def w4a16_matmul_pallas(
     x: jax.Array,        # [M, K] bf16/f32 activations

@@ -33,6 +33,9 @@ class SamplingParams:
     # srt/constrained/*): token-bitmask enforced grammar.
     regex: Optional[str] = None
     json_schema: Optional[str] = None
+    # EBNF / CFG grammar (reference: xgrammar_backend.py:148 — arbitrary
+    # context-free grammars; constrained/ebnf_engine.py)
+    ebnf: Optional[str] = None
     # OpenAI logit_bias: {token_id: bias in [-100, 100]} added to logits
     # before sampling (reference: sampling_batch_info apply_logits_bias).
     logit_bias: Optional[dict] = None

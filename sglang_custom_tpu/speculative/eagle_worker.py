@@ -302,6 +302,8 @@ class SpecRunner:
         top_k = take(B, (B,))
         slots = take(B, (B,))
         f32 = jax.lax.bitcast_convert_type(take(3 * B, (3, B)), jnp.float32)
+        # simulated acceptance probability (bench sweeps; 1.0 = full)
+        sim_p = jax.lax.bitcast_convert_type(take(1, (1,)), jnp.float32)[0]
         counter = packed[o]
         meta = ForwardMeta(
             token_ids=token_ids, positions=positions,
@@ -316,7 +318,7 @@ class SpecRunner:
         )
         kv, dkv, fp, y, lps, n_accept = self._decode_impl(
             tparams, dparams, kv, dkv, feat_pool, meta, smeta, slots, key,
-            any_stoch, any_filt,
+            any_stoch, any_filt, sim_p=sim_p,
         )
         out = jnp.concatenate([
             y.reshape(-1),
@@ -328,7 +330,7 @@ class SpecRunner:
     def _decode_impl(
         self, tparams, dparams, kv, dkv, feat_pool,
         meta: ForwardMeta, smeta: SamplingMeta, slots, key,
-        any_stoch: bool = True, any_filt: bool = True,
+        any_stoch: bool = True, any_filt: bool = True, sim_p=None,
     ):
         """Fused tree-draft -> tree-verify -> accept-walk -> compact ->
         fix-up. Returns (kv, dkv, feat_pool, tokens [B, D+1],
@@ -442,16 +444,25 @@ class SpecRunner:
         simulate = bool(
             getattr(self.server_args, "speculative_simulate_acc", False)
         )
-        for _ in range(D):
+        if simulate and sim_p is not None:
+            # per-(row, depth) simulated acceptance draws for the bench's
+            # accept-rate sweep (VERDICT r4 task 7 regime map)
+            acc_rand = jax.random.uniform(
+                jax.random.fold_in(key, 0x5A5A), (B, D)
+            )
+        for _d in range(D):
             y_cur = jnp.take_along_axis(y, cur[:, None], axis=1)[:, 0]
             ch = child_table[cur]                       # [B, topk]
             ch_safe = jnp.maximum(ch, 0)
             ch_tok = jnp.take_along_axis(vtokens, ch_safe, axis=1)
             if simulate:
                 # BENCH-ONLY (speculative_simulate_acc): treat the first
-                # existing child as accepted so throughput is measurable
-                # with dummy weights (reference analog: SIMULATE_ACC_LEN).
+                # existing child as accepted with probability sim_p (1.0 =
+                # full-accept ceiling) so throughput is measurable with
+                # dummy weights (reference analog: SIMULATE_ACC_LEN).
                 m = ch >= 0
+                if sim_p is not None:
+                    m = m & (acc_rand[:, _d] < sim_p)[:, None]
             else:
                 m = (ch_tok == y_cur[:, None]) & (ch >= 0)
             has = m.any(axis=1)
@@ -632,6 +643,10 @@ class SpecRunner:
             pad(batch.top_p, (Bp,), fill=1.0),
             pad(batch.min_p, (Bp,)),
         ]).ravel().view(np.int32)
+        sim = getattr(self.server_args, "speculative_simulate_acc", False)
+        sim_p = float(sim) if not isinstance(sim, bool) else (
+            1.0 if sim else 1.0
+        )
         packed = np.concatenate([
             pad(batch.token_ids[:, 0], (Bp,)),
             pad(batch.positions[:, 0], (Bp,)),
@@ -640,6 +655,7 @@ class SpecRunner:
             pad(batch.top_k, (Bp,), fill=1),
             slots.astype(np.int32),
             f32,
+            np.asarray([sim_p], np.float32).view(np.int32),
             np.asarray([runner._step_counter], np.int32),
         ])
         any_stoch, any_filt = runner._sampling_flags(batch)

@@ -40,6 +40,7 @@ PER_COMMIT = [
     ("test_input_logprobs.py", 90),
     ("test_router.py", 90),
     ("test_swa_cache.py", 90),
+    ("test_ebnf.py", 60),
 ]
 
 NIGHTLY = [
@@ -66,6 +67,9 @@ NIGHTLY = [
     ("test_eval_harness.py", 300),
     ("test_data_parallel.py", 240),
     ("test_eplb.py", 180),
+    ("test_qwen25_vl.py", 240),
+    ("test_ring_prefill.py", 180),
+    ("test_double_sparsity.py", 180),
 ]
 
 SUITES = {

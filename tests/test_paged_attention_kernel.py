@@ -152,7 +152,7 @@ def test_extend_kernel_matches_reference(B, Hq, Hkv, D, ps, pmax, T, q_block):
     q = jnp.asarray(rng.randn(B, T, Hq, D).astype(np.float32))
     scale = 1.0 / np.sqrt(D)
 
-    out = paged_attention_extend(
+    out, kv = paged_attention_extend(
         q, kv, jnp.asarray(LAYER, jnp.int32), page_table, seq_lens,
         extend_lens, scale=scale, q_block=q_block, interpret=True,
     )
@@ -244,7 +244,7 @@ def test_extend_kernel_sliding_window(window):
     q = jnp.asarray(rng.randn(B, T, Hq, D).astype(np.float32))
     scale = 0.125
 
-    out = paged_attention_extend(
+    out, kv = paged_attention_extend(
         q, kv, jnp.asarray(LAYER, jnp.int32), page_table, seq_lens,
         extend_lens, scale=scale,
         window=jnp.asarray(window, jnp.int32), q_block=8, interpret=True,
@@ -304,7 +304,7 @@ def test_extend_kernel_tree_mask():
             j = (j - 1) // 2
     tree_mask = jnp.asarray(mask)
 
-    out = paged_attention_extend(
+    out, kv = paged_attention_extend(
         q, kv, jnp.asarray(LAYER, jnp.int32), page_table, seq_lens,
         extend_lens, scale=scale, q_block=8, interpret=True,
         tree_mask=tree_mask, tree_start=prefix,
@@ -333,3 +333,42 @@ def test_extend_kernel_tree_mask():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_paged_kv_write_kernel_interpret():
+    """Pallas page-granular KV writer (ops/kv_write.py) vs the XLA
+    scatter, including page-crossing extends, cached-prefix offsets, and
+    padded rows."""
+    from sglang_custom_tpu.ops.kv_write import paged_kv_write
+
+    rng = np.random.RandomState(3)
+    L, Hkv, P, ps, F = 3, 4, 16, 8, 32
+    B, T = 3, 11
+    pool0 = jnp.asarray(rng.randn(L, Hkv, P, ps, F), jnp.float32)
+    kv_new = jnp.asarray(rng.randn(B, T, Hkv, F), jnp.float32)
+    # per-row start offsets: row 0 fresh, row 1 mid-page prefix, row 2 pad
+    c = np.asarray([0, 5, 3], np.int32)
+    e = np.asarray([11, 9, 0], np.int32)   # row 2 fully padded
+    positions = np.stack([ci + np.arange(T) for ci in c]).astype(np.int32)
+    pmax = (int((c + e).max()) + ps - 1) // ps + 1
+    page_table = np.zeros((B, pmax), np.int32)
+    pid = 1
+    for b in range(B):
+        for j in range(pmax):
+            page_table[b, j] = pid
+            pid += 1
+
+    # reference scatter
+    want = np.asarray(pool0).copy()
+    for b in range(B):
+        for t in range(int(e[b])):
+            pos = int(positions[b, t])
+            pg = int(page_table[b, pos // ps])
+            want[1, :, pg, pos % ps] = np.asarray(kv_new)[b, t]
+
+    got = paged_kv_write(
+        kv_new, pool0, jnp.asarray(1, jnp.int32),
+        jnp.asarray(page_table), jnp.asarray(positions),
+        jnp.asarray(e), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want)

@@ -399,3 +399,42 @@ def test_fp8_block_pallas_kernel_interpret():
     want = x.astype(np.float32) @ wd
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert rel < 2e-2, rel
+
+
+def test_w4a16_v2_kernel_matches_v1_interpret():
+    """Big-dot W4A16 variant (r5) vs the group-partial kernel and the
+    exact dequant reference."""
+    import jax.numpy as jnp
+
+    from sglang_custom_tpu.ops.w4a16_matmul import (
+        supported_shape,
+        w4a16_matmul_pallas,
+        w4a16_matmul_pallas_v2,
+    )
+
+    K, N, G = 2048, 256, 128
+    assert supported_shape(K, N, G)
+    rng = np.random.RandomState(7)
+    q = rng.randint(0, 256, (K // 2, N), dtype=np.uint8)
+    s = (rng.rand(K // G, N).astype(np.float32) * 0.02 + 0.01)
+    z = (rng.rand(K // G, N).astype(np.float32) - 0.5) * 0.1
+    x = rng.randn(16, K).astype(np.float32)
+
+    got2 = np.asarray(w4a16_matmul_pallas_v2(
+        jnp.asarray(x), jnp.asarray(q), jnp.asarray(s), jnp.asarray(z),
+        interpret=True,
+    ), np.float32)
+    got1 = np.asarray(w4a16_matmul_pallas(
+        jnp.asarray(x), jnp.asarray(q), jnp.asarray(s), jnp.asarray(z),
+        interpret=True,
+    ), np.float32)
+
+    lo = (q & 0xF).astype(np.float32)
+    hi = (q >> 4).astype(np.float32)
+    w4 = np.concatenate([lo, hi], axis=0)
+    sfull = np.repeat(s, G, axis=0)
+    zfull = np.repeat(z, G, axis=0)
+    want = x.astype(np.float32) @ (w4 * sfull + zfull)
+    for name, got in (("v2", got2), ("v1", got1)):
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 2e-2, (name, rel)
