@@ -33,6 +33,7 @@ from sglang_custom_tpu.layers.quantization.blockwise_fp8 import (
 from sglang_custom_tpu.layers.quantization.fp8 import fp8_matmul
 from sglang_custom_tpu.layers.quantization.int8 import int8_matmul
 from sglang_custom_tpu.layers.quantization.w4a16 import w4a16_matmul
+from sglang_custom_tpu.ops.w4a16_matmul import w4a16_matmul_pallas_v2
 
 L, K, N = 16, 4096, 14336
 M = int(sys.argv[1]) if len(sys.argv) > 1 else 32
@@ -72,6 +73,11 @@ methods = {
              L * K * N * 2),
     "w4a16": (scan_harness(lambda c, w: w4a16_matmul(c, w), qd_w4),
               L * (K // 2 * N + 2 * (K // 128) * N * 4)),
+    "w4a16_v2": (scan_harness(
+        lambda c, w: w4a16_matmul_pallas_v2(
+            c, w["qweight"], w["scales"], w["zeros"]
+        ).astype(c.dtype), qd_w4),
+        L * (K // 2 * N + 2 * (K // 128) * N * 4)),
     "fp8": (scan_harness(lambda c, w: fp8_matmul(c, w), qd_f8),
             L * (K * N + N * 4)),
     "int8": (scan_harness(lambda c, w: int8_matmul(c, w), qd_i8),
@@ -105,7 +111,7 @@ for name, (fn, bytes_) in methods.items():
 
 out["time_vs_bf16"] = {
     k: round(out["bf16"]["ms"] / out[k]["ms"], 2)
-    for k in ("w4a16", "fp8", "int8", "fp8_block")
+    for k in ("w4a16", "w4a16_v2", "fp8", "int8", "fp8_block")
     if "ms" in out.get(k, {})
 }
 out["note"] = (

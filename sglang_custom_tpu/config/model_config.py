@@ -430,5 +430,17 @@ class ModelConfig:
     @staticmethod
     def from_model_path(model_path: str) -> "ModelConfig":
         cfg_path = os.path.join(model_path, "config.json")
+        if not os.path.exists(cfg_path):
+            # GGUF checkpoints carry the geometry in their metadata
+            # (model_loader/gguf_loader.py; reference: GGUFModelLoader
+            # loader.py:1241)
+            from sglang_custom_tpu.model_loader.gguf_loader import (
+                config_from_gguf,
+                gguf_path_of,
+            )
+
+            g = gguf_path_of(model_path)
+            if g:
+                return config_from_gguf(g)
         with open(cfg_path) as f:
             return ModelConfig.from_hf_dict(json.load(f))

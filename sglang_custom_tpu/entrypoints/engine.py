@@ -71,6 +71,20 @@ class Engine:
             devices=devices,
         )
 
+        # Remote model sources resolve to a local cache first (reference:
+        # RemoteModelLoader loader.py:1346 + srt/connector/)
+        from sglang_custom_tpu.model_loader.remote import fetch_model, is_remote
+
+        if server_args.model_path and is_remote(server_args.model_path):
+            server_args.model_path = fetch_model(server_args.model_path)
+            if server_args.tokenizer_path and is_remote(
+                server_args.tokenizer_path
+            ):
+                server_args.tokenizer_path = fetch_model(
+                    server_args.tokenizer_path
+                )
+            elif server_args.tokenizer_path is None:
+                server_args.tokenizer_path = server_args.model_path
         self.model_config = ModelConfig.from_model_path(server_args.model_path)
         # dp_size > 1: independent serving replicas, built below once the
         # tokenizer exists (managers/data_parallel_controller.py). The

@@ -157,7 +157,20 @@ def load_weights(
 
     files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
     if not files:
-        raise FileNotFoundError(f"no safetensors under {model_path}")
+        from sglang_custom_tpu.model_loader.gguf_loader import (
+            gguf_path_of,
+            load_weights_gguf,
+        )
+
+        g = gguf_path_of(model_path)
+        if g:
+            return load_weights_gguf(
+                g, cfg, mesh_ctx, dtype, quantization=quantization,
+                model=model,
+            )
+        raise FileNotFoundError(
+            f"no safetensors or gguf under {model_path}"
+        )
 
     if model is None:
         model = get_model(cfg.architecture)

@@ -70,6 +70,8 @@ NIGHTLY = [
     ("test_qwen25_vl.py", 240),
     ("test_ring_prefill.py", 180),
     ("test_double_sparsity.py", 180),
+    ("test_gguf_loader.py", 120),
+    ("test_remote_loader.py", 120),
 ]
 
 SUITES = {
