@@ -118,6 +118,8 @@ class ModelConfig:
     def num_image_tokens(self) -> int:
         """Feature tokens injected per image."""
         v = self.vision
+        if "num_image_tokens" in v:
+            return v["num_image_tokens"]
         n = (v["image_size"] // v["patch_size"]) ** 2
         if v.get("vision_feature_select_strategy", "default") != "default":
             n += 1  # CLS kept
@@ -219,6 +221,46 @@ class ModelConfig:
                 },
             )
             return mc
+        if arch == "InternVLForConditionalGeneration":
+            # InternViT tower + pixel shuffle + Qwen2/Llama trunk
+            # (reference: srt/models/internvl.py; models/internvl.py here)
+            text = dict(cfg["text_config"])
+            tm = text.get("model_type", "qwen2")
+            text["architectures"] = [
+                "Qwen2ForCausalLM" if tm == "qwen2" else "LlamaForCausalLM"
+            ]
+            mc = ModelConfig.from_hf_dict(text)
+            vc = dict(cfg["vision_config"])
+
+            def one(x):
+                return x[0] if isinstance(x, (list, tuple)) else x
+
+            S = one(vc.get("image_size", 448))
+            P = one(vc.get("patch_size", 14))
+            ds = cfg.get("downsample_ratio", 0.5)
+            vision = {
+                "type": "internvl",
+                "hidden_size": vc["hidden_size"],
+                "num_hidden_layers": vc["num_hidden_layers"],
+                "num_attention_heads": vc["num_attention_heads"],
+                "intermediate_size": vc["intermediate_size"],
+                "image_size": S,
+                "patch_size": P,
+                "layer_norm_eps": vc.get("layer_norm_eps", 1e-6),
+                "attention_bias": bool(vc.get("attention_bias", False)),
+                "use_qk_norm": bool(vc.get("use_qk_norm", False)),
+                "downsample_ratio": ds,
+                "num_image_tokens": int((S // P) ** 2 * ds * ds),
+                "resize": "stretch",          # InternVL resizes to SxS
+                "image_mean": [0.485, 0.456, 0.406],
+                "image_std": [0.229, 0.224, 0.225],
+            }
+            return dataclasses.replace(
+                mc,
+                architecture=arch,
+                vision=vision,
+                image_token_id=cfg.get("image_token_id", 151667),
+            )
         if arch == "Qwen2_5_VLForConditionalGeneration":
             # Qwen2.5-VL: Qwen2 text trunk (attention bias) + windowed ViT
             # + mrope (reference: srt/models/qwen2_5_vl.py; mrope positions

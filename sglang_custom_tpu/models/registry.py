@@ -23,6 +23,7 @@ from sglang_custom_tpu.models import (
     glm,
     llama,
     llama4,
+    internvl,
     llava,
     qwen2_5_vl,
     mixtral,
@@ -57,6 +58,7 @@ MODEL_REGISTRY: Dict[str, types.ModuleType] = {
     "Gemma3ForConditionalGeneration": gemma,
     # vision-language (reference: srt/models/llava.py, qwen2_5_vl.py)
     "Qwen2_5_VLForConditionalGeneration": qwen2_5_vl,
+    "InternVLForConditionalGeneration": internvl,
     "LlavaForConditionalGeneration": llava,
     "LlavaLlamaForCausalLM": llava,
     # reward / sequence classification (reference: srt/models/qwen2_rm.py,

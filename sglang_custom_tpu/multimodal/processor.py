@@ -74,19 +74,24 @@ class MultimodalProcessor:
             )
             return arr, h
         S = self.size
+        stretch = self.cfg.vision.get("resize") == "stretch"
         try:
             from PIL import Image
 
             img = Image.fromarray(arr.astype(np.uint8))
-            w0, h0 = img.size
-            scale = S / min(w0, h0)
-            img = img.resize(
-                (max(S, round(w0 * scale)), max(S, round(h0 * scale))),
-                Image.BICUBIC,
-            )
-            w1, h1 = img.size
-            left, top = (w1 - S) // 2, (h1 - S) // 2
-            img = img.crop((left, top, left + S, top + S))
+            if stretch:
+                # InternVL-style: resize directly to SxS (no crop)
+                img = img.resize((S, S), Image.BICUBIC)
+            else:
+                w0, h0 = img.size
+                scale = S / min(w0, h0)
+                img = img.resize(
+                    (max(S, round(w0 * scale)), max(S, round(h0 * scale))),
+                    Image.BICUBIC,
+                )
+                w1, h1 = img.size
+                left, top = (w1 - S) // 2, (h1 - S) // 2
+                img = img.crop((left, top, left + S, top + S))
             px = np.asarray(img, np.float32)
         except ImportError:
             # numpy fallback: nearest-neighbor resize (tests / PIL-less envs)
