@@ -118,7 +118,11 @@ out["note"] = (
     "v5e dequant of sub-bf16 weights is VPU-compute-bound (unpack-only "
     "int4 kernel measures ~270 GB/s ceiling, scripts/kernel_lab_w4b.py); "
     "quantization on this chip buys CAPACITY and modest time wins, not "
-    "bandwidth-proportional speedups"
+    "bandwidth-proportional speedups. fp8_block (exact 128x128 scales) "
+    "plateaus at ~156 GB/s across XLA block-scan / fused-producer / "
+    "Pallas formulations (scripts/lab_fp8_block*.py) — the per-weight "
+    "scale multiply stacks on the upcast's VPU cost; it serves models "
+    "that cannot fit bf16, where absolute time vs bf16 is moot"
 )
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 with open(os.path.join(repo, "QUANT_MM_BENCH.json"), "w") as f:

@@ -65,6 +65,9 @@ class ModelConfig:
     v_head_dim: int = 0
     # --- DeepSeek MoE routing ---
     n_shared_experts: int = 0
+    # Qwen2-MoE dense shared expert beside the routed experts
+    # (models/mixtral.py; 0 = none)
+    shared_expert_intermediate_size: int = 0
     first_k_dense_replace: int = 0
     routed_scaling_factor: float = 1.0
     topk_method: str = "greedy"        # greedy | group_limited_greedy | noaux_tc
@@ -435,6 +438,9 @@ class ModelConfig:
             qk_rope_head_dim=cfg.get("qk_rope_head_dim") or 0,
             v_head_dim=cfg.get("v_head_dim") or 0,
             n_shared_experts=cfg.get("n_shared_experts") or 0,
+            shared_expert_intermediate_size=cfg.get(
+                "shared_expert_intermediate_size"
+            ) or 0,
             first_k_dense_replace=cfg.get("first_k_dense_replace") or 0,
             routed_scaling_factor=cfg.get("routed_scaling_factor") or 1.0,
             topk_method=cfg.get("topk_method")

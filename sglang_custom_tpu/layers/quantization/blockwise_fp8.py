@@ -51,27 +51,41 @@ def _on_tpu() -> bool:
 def fp8_blockwise_matmul(x: jax.Array, qd: dict) -> jax.Array:
     """x [..., K] @ blockwise-dequant(qweight) -> [..., N].
 
-    On TPU with supported shapes this runs the fused Pallas kernel
-    (ops/fp8_matmul.py fp8_block_matmul_pallas): e4m3 stays in HBM and
-    the 128x128 block scales apply to the dequantized chunk in VMEM —
-    the XLA per-block-partial path below measured SLOWER than bf16
-    (QUANT_MM_BENCH r4 fp8_block 0.76x; VERDICT r4 weak #5)."""
+    Fast path: a lax.scan over the K-blocks — each step is ONE
+    [M, B] x [B, N] matmul whose e4m3->bf16 weight upcast XLA fuses into
+    the dot's weight read (the same fusion that makes plain fp8 the
+    fastest formulation on v5e, fp8.py fp8_matmul), followed by the
+    [Kb, N]-block scale applied to the [M, N] partial. This replaces BOTH
+    r4's batched-dot_general form (materialized [Kb, M, N] f32 partials —
+    0.76x bf16) and r5's Pallas kernel attempt (hand-pipelined fp8 reads
+    run ~52 GB/s vs XLA's 280 — byte-dtype upcast fusion is XLA's game,
+    scripts/lab_fp8_block.py)."""
     qw, s = qd["qweight"], qd["scales"]
     K, N = qw.shape
-    Kb_, Nb_ = s.shape
-    if K // Kb_ == 128:
-        from sglang_custom_tpu.ops.fp8_matmul import (
-            fp8_block_matmul_pallas,
-            supported_shape_block,
-        )
+    Kb, Nb = s.shape
+    B = K // Kb
+    if _on_tpu() and N % Nb == 0:
+        lead = x.shape[:-1]
+        M = int(np.prod(lead)) if lead else 1
+        xb = x.astype(jnp.bfloat16).reshape(M, Kb, B)
+        wb = qw.reshape(Kb, B, N)
+        s_n = jnp.repeat(
+            s.astype(jnp.float32), N // Nb, axis=1
+        )  # [Kb, N]
 
-        if _on_tpu() and supported_shape_block(K, N, 128):
-            lead = x.shape[:-1]
-            s_kn = jnp.repeat(s, N // Nb_, axis=1)  # [K/128, N] (tiny)
-            out = fp8_block_matmul_pallas(
-                x.reshape(-1, K), qw, s_kn.astype(jnp.float32)
+        def step(acc, args):
+            xk, wk, sk = args
+            part = jnp.matmul(
+                xk, wk.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
             )
-            return out.reshape(*lead, N).astype(x.dtype)
+            return acc + part * sk[None, :], None
+
+        acc0 = jnp.zeros((M, N), jnp.float32)
+        out, _ = jax.lax.scan(
+            step, acc0, (jnp.moveaxis(xb, 1, 0), wb, s_n)
+        )
+        return out.reshape(*lead, N).astype(x.dtype)
     return _fp8_blockwise_matmul_xla(x, qd)
 
 

@@ -105,12 +105,15 @@ def w4a16_matmul(x: jax.Array, qd: dict) -> jax.Array:
     G = K // qd["scales"].shape[0]
     from sglang_custom_tpu.ops.w4a16_matmul import (
         supported_shape,
-        w4a16_matmul_pallas,
+        w4a16_matmul_pallas_v2,
     )
 
     if _on_tpu() and supported_shape(K, N, G):
+        # v2: per-group unpack tiles + scale-on-partials + external
+        # zero-point matmul — measured 145 vs 131-137 GB/s for the v1
+        # group-partial form (QUANT_MM_BENCH r5)
         lead = x.shape[:-1]
-        out = w4a16_matmul_pallas(
+        out = w4a16_matmul_pallas_v2(
             x.reshape(-1, K), qd["qweight"],
             qd["scales"], qd["zeros"],
         )

@@ -64,6 +64,16 @@ def param_shapes(cfg: ModelConfig) -> dict:
     if cfg.qk_norm:
         layers["q_norm"] = s(L, D)
         layers["k_norm"] = s(L, D)
+    if cfg.shared_expert_intermediate_size:
+        # Qwen2-MoE: dense shared expert + sigmoid gate next to the
+        # routed experts (reference: srt/models/qwen2_moe.py)
+        Is = cfg.shared_expert_intermediate_size
+        layers.update({
+            "shared_gate_proj": s(L, H, Is),
+            "shared_up_proj": s(L, H, Is),
+            "shared_down_proj": s(L, Is, H),
+            "shared_expert_gate": s(L, 1, H),
+        })
     return {
         "embed": s(V, H),
         "layers": layers,
@@ -109,6 +119,15 @@ def param_shardings(cfg: ModelConfig, mesh_ctx) -> dict:
     if cfg.qk_norm:
         layers["q_norm"] = sh()
         layers["k_norm"] = sh()
+    if cfg.shared_expert_intermediate_size:
+        Is = cfg.shared_expert_intermediate_size
+        col = sh(None, None, t) if div(Is) else sh()
+        layers.update({
+            "shared_gate_proj": col,
+            "shared_up_proj": col,
+            "shared_down_proj": sh(None, t, None) if div(Is) else sh(),
+            "shared_expert_gate": sh(),
+        })
     return {
         "embed": sh(t, None) if div(cfg.vocab_size) else sh(),
         "layers": layers,
@@ -227,6 +246,17 @@ def forward_features(
         h = rms_norm(x, lp["post_norm"], eps)
         moe_out, counts = moe_ffn(h.reshape(B * T, -1), lp, cfg)
         x = x + moe_out.reshape(B, T, -1)
+        if "shared_up_proj" in lp:
+            sh_act = jax.nn.silu(
+                jnp.einsum("bth,hi->bti", h, lp["shared_gate_proj"])
+            ) * jnp.einsum("bth,hi->bti", h, lp["shared_up_proj"])
+            sh_out = jnp.einsum(
+                "bti,ih->bth", sh_act, lp["shared_down_proj"]
+            )
+            g = jax.nn.sigmoid(jnp.einsum(
+                "bth,oh->bto", h, lp["shared_expert_gate"]
+            ))
+            x = x + (g * sh_out).astype(x.dtype)
         if record_experts:
             return (x, kv), counts
         return (x, kv), None
@@ -275,6 +305,18 @@ def hf_key_map(cfg: ModelConfig) -> dict:
             m[pe + names[0]] = (("layers", "gate_proj"), (l, e), True)
             m[pe + names[1]] = (("layers", "up_proj"), (l, e), True)
             m[pe + names[2]] = (("layers", "down_proj"), (l, e), True)
+        if cfg.shared_expert_intermediate_size:
+            ps_ = p + "mlp.shared_expert."
+            m.update({
+                ps_ + "gate_proj.weight":
+                    (("layers", "shared_gate_proj"), l, True),
+                ps_ + "up_proj.weight":
+                    (("layers", "shared_up_proj"), l, True),
+                ps_ + "down_proj.weight":
+                    (("layers", "shared_down_proj"), l, True),
+                p + "mlp.shared_expert_gate.weight":
+                    (("layers", "shared_expert_gate"), l, False),
+            })
         if cfg.attention_bias:
             m.update({
                 p + "self_attn.q_proj.bias": (("layers", "q_bias"), l, False),

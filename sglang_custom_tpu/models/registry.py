@@ -46,6 +46,7 @@ MODEL_REGISTRY: Dict[str, types.ModuleType] = {
     "Llama4ForConditionalGeneration": llama4,
     "MixtralForCausalLM": mixtral,
     "Qwen3MoeForCausalLM": mixtral,
+    "Qwen2MoeForCausalLM": mixtral,
     "Phi3ForCausalLM": phi3,
     "GlmForCausalLM": glm,
     "Glm4ForCausalLM": glm,

@@ -113,20 +113,24 @@ def _kernel_v2(x_ref, q_ref, slo_ref, shi_ref, o_ref, acc,
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    q = q_ref[:].astype(jnp.int32)                 # [CKP, TILE_N]
     gpc, tn = slo_ref.shape
     G = ckp // gpc
 
-    def half_dot(vals, s_ref, x_off):
-        w = vals.astype(jnp.float32).reshape(gpc, G, tn)
-        w = (w * s_ref[:][:, None, :]).reshape(ckp, tn).astype(
-            jnp.bfloat16
-        )
-        xg = x_ref[:, pl.ds(x_off + k * ckp, ckp)]
-        acc[:] += jnp.dot(xg, w, preferred_element_type=jnp.float32)
+    # Unpack ONE quant group at a time so only a [G, tn] dequant tile is
+    # live: materializing the whole dequantized chunk spilled VREGs to
+    # VMEM (an extra ~2 MB round-trip per 256 KB of weights — the r5
+    # profiling suspect for the 140-vs-270 GB/s gap). Scales apply to the
+    # [tb, tn] partial (cheap at decode tb) and zeros stay external.
+    def half_dot(shift, s_ref, x_off):
+        for g in range(gpc):
+            qg = q_ref[pl.ds(g * G, G), :].astype(jnp.int32)
+            wg = ((qg >> shift) & 0xF).astype(jnp.bfloat16)
+            xg = x_ref[:, pl.ds(x_off + k * ckp + g * G, G)]
+            part = jnp.dot(xg, wg, preferred_element_type=jnp.float32)
+            acc[:] += part * s_ref[g, :][None, :]
 
-    half_dot(q & 0xF, slo_ref, 0)
-    half_dot(q >> 4, shi_ref, half)
+    half_dot(0, slo_ref, 0)
+    half_dot(4, shi_ref, half)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():

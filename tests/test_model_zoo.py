@@ -278,3 +278,23 @@ def test_llama4_golden(tmp_path_factory):
         _golden_check(m, _save(m, tmp_path_factory, "tiny_llama4"))
     finally:
         PROMPTS = old
+
+
+def test_qwen2_moe_golden(tmp_path_factory):
+    """Qwen2-MoE: routed experts + dense shared expert with sigmoid gate
+    (reference: srt/models/qwen2_moe.py)."""
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    cfg = Qwen2MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, shared_expert_intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        norm_topk_prob=False, mlp_only_layers=[],
+        max_position_embeddings=256, tie_word_embeddings=False,
+    )
+    import torch
+
+    torch.manual_seed(0)
+    m = Qwen2MoeForCausalLM(cfg).to(torch.float32)
+    _golden_check(m, _save(m, tmp_path_factory, "tiny_qwen2moe"))
