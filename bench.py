@@ -110,13 +110,32 @@ def make_mix_probe(runner, params, cfg, batch, avg_ctx):
         + kv.size // kv.shape[2] * n_pages_read * kv.dtype.itemsize
     )
 
+    x64 = jnp.ones((64, 2048), jnp.bfloat16)
+
+    def _read(leaf):
+        # ONE streaming read of the leaf as a roofline-shaped GEMM
+        # ([64, 2048] @ [2048, cols] — the same shape measure_roofline
+        # streams at ~410 GB/s). Reductions and skinny dots both measured
+        # far below the engine's achieved bandwidth (247 / 120 GB/s in
+        # r5), which made the gate denominator degenerate.
+        n = leaf.size
+        cols = n // 2048
+        if cols == 0:
+            return jnp.sum(leaf.astype(jnp.float32))
+        m = jax.lax.slice(leaf.reshape(-1), (0,), (2048 * cols,)).reshape(
+            2048, cols
+        ).astype(jnp.bfloat16)
+        return jnp.sum(jnp.matmul(
+            x64, m, preferred_element_type=jnp.float32
+        ))
+
     @jax.jit
     def reduce_all(leaves, kv, pids):
         s = jnp.zeros((), jnp.float32)
         for leaf in leaves:
-            s += jnp.sum(leaf.astype(jnp.float32) * 1e-6)
+            s += _read(leaf) * 1e-6
         g = jnp.take(kv, pids, axis=2)  # paged gather, KV byte mix
-        s += jnp.sum(g.astype(jnp.float32) * 1e-6)
+        s += _read(g) * 1e-6
         return s
 
     fetch = jax.jit(lambda t: t.ravel()[0])
@@ -444,9 +463,9 @@ def run_spec_bench(cfg, baseline_toks_per_s, batch=8, prompt=128,
     rng = np.random.RandomState(0)
     prompts = [list(rng.randint(1, 100000, size=prompt)) for _ in range(batch)]
 
-    def run_once():
+    def run_once(n_rows=batch):
         sched = Scheduler(args, runner, spec_runner=spec)
-        for i, p in enumerate(prompts):
+        for i, p in enumerate(prompts[:n_rows]):
             sched.add_request(
                 Req(
                     rid=f"s{i}", input_ids=p,
