@@ -487,8 +487,15 @@ def run_spec_bench(cfg, baseline_toks_per_s, batch=8, prompt=128,
         sched.tree_cache.reset()
         return toks / dt
 
+    import sys as _sys
+
+    def _mark(m):
+        print(f"[spec] {m}", file=_sys.stderr, flush=True)
+
+    _mark("compile run")
     run_once()  # compile
     spec.num_spec_steps = spec.num_accepted_tokens = 0
+    _mark("timed run")
     toks_per_s = run_once()
     accept_len = spec.avg_accept_len
 
@@ -503,6 +510,7 @@ def run_spec_bench(cfg, baseline_toks_per_s, batch=8, prompt=128,
             if nb != batch and p_acc == 1.0:
                 run_once(nb)  # warm the small-batch bucket
             spec.num_spec_steps = spec.num_accepted_tokens = 0
+            _mark(f"sweep b{nb} p{p_acc}")
             tps = run_once(nb)
             sweep[f"b{nb}_p{p_acc}"] = {
                 "tok_per_s": round(tps, 1),
@@ -544,6 +552,7 @@ def run_spec_bench(cfg, baseline_toks_per_s, batch=8, prompt=128,
         sched.tree_cache.reset()
         return toks / dt
 
+    _mark("plain baseline")
     plain_once()  # compile
     plain_toks = plain_once()
     # plain decode at B=1 for the small-batch speedup denominator
@@ -634,6 +643,55 @@ def llama_8b_cfg():
 
 
 def main():
+    """Orchestrator: the decode benches and the spec bench run in SEPARATE
+    subprocesses. Running the spec section after the 1B + 8B phases in one
+    process hit a runtime `INTERNAL: TPU backend error` that none of the
+    sections reproduce standalone (r5 bisect — residual device state
+    after gc + clear_caches); a fresh process per section is the robust
+    isolation, and the parent never initializes the TPU backend."""
+    section = os.environ.get("BENCH_SECTION")
+    if section == "decode":
+        print(json.dumps(_decode_sections()))
+        return
+    if section == "spec":
+        spec_in = json.loads(os.environ.get("BENCH_SPEC_ARGS", "{}"))
+        try:
+            spec = run_spec_bench(
+                llama_1b_cfg(), spec_in.get("baseline", 8000.0)
+            )
+        except Exception as e:
+            spec = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps(spec))
+        return
+
+    import subprocess
+    import sys
+
+    def run_section(name, extra_env=None):
+        env = dict(os.environ, BENCH_SECTION=name, **(extra_env or {}))
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env, timeout=5400,
+        )
+        line = (r.stdout.strip().splitlines() or ["{}"])[-1]
+        try:
+            return json.loads(line)
+        except Exception:
+            return {"error": f"section {name} failed rc={r.returncode}: "
+                             f"{r.stderr.strip()[-200:]}"}
+
+    dec = run_section("decode")
+    spec = run_section("spec", {
+        "BENCH_SPEC_ARGS": json.dumps(
+            {"baseline": dec.get("value", 8000.0)}
+        ),
+    })
+    out = dict(dec)
+    out["spec"] = spec
+    print(json.dumps(out))
+
+
+def _decode_sections():
     roofline_gbps = measure_roofline_gbps()
 
     primary = run_decode_bench(
@@ -693,21 +751,12 @@ def main():
             "largest_live_mb": [round(b / 2**20, 1) for b in live[:8]],
         }
 
-    gc.collect()
-    jax.clear_caches()
-    try:
-        spec = run_spec_bench(llama_1b_cfg(), primary["value"])
-    except Exception as e:
-        spec = {"error": f"{type(e).__name__}: {e}"[:200]}
-
-    out = {
+    return {
         "metric": "decode_tokens_per_sec_per_chip_llama3.2-1b_bf16_bs64",
         **primary,
         "roofline_gbps_measured": round(roofline_gbps, 1),
         "w4a16_8b": w4,
-        "spec": spec,
     }
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -647,11 +647,18 @@ class SpecRunner:
         sim_p = float(sim) if not isinstance(sim, bool) else (
             1.0 if sim else 1.0
         )
+        # Padding rows clone a REAL row's position (their pages are all
+        # garbage page 0, so every read/write is inert): position-0 pads
+        # drove EAGLE's shifted draft base to -1, and negative
+        # positions/tree_start through the kernel chain crashed the chip
+        # with an opaque `INTERNAL: TPU backend error` the moment a spec
+        # batch ran ragged (r5 bisect: any padded spec decode).
+        s0 = int(batch.positions[0, 0]) if B else 1
         packed = np.concatenate([
             pad(batch.token_ids[:, 0], (Bp,)),
-            pad(batch.positions[:, 0], (Bp,)),
+            pad(batch.positions[:, 0], (Bp,), fill=s0),
             pad(batch.page_table, (Bp, Pp)).ravel(),
-            pad(batch.seq_lens, (Bp,), fill=1),
+            pad(batch.seq_lens, (Bp,), fill=s0),
             pad(batch.top_k, (Bp,), fill=1),
             slots.astype(np.int32),
             f32,
