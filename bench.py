@@ -507,8 +507,10 @@ def run_spec_bench(cfg, baseline_toks_per_s, batch=8, prompt=128,
     for nb in (batch, 1):
         for p_acc in (1.0, 0.8, 0.6):
             args.speculative_simulate_acc = p_acc
-            if nb != batch and p_acc == 1.0:
-                run_once(nb)  # warm the small-batch bucket
+            # warm EVERY point: partial acceptance finishes rows raggedly,
+            # compiling smaller-batch bucket executables mid-measurement
+            # (r5: an unwarmed point read 50 tok/s from compile stalls)
+            run_once(nb)
             spec.num_spec_steps = spec.num_accepted_tokens = 0
             _mark(f"sweep b{nb} p{p_acc}")
             tps = run_once(nb)

@@ -523,8 +523,11 @@ class SpecRunner:
 
     def _compact_kv(self, kv, page_table, s, path, a):
         """Move accepted-path node KV from scattered tree slots to the
-        linear positions s+1..s+a (gather-then-scatter on the flat pool;
-        invalid rows land in the garbage page)."""
+        linear positions s+1..s+D (positions beyond the accepted length a
+        are garbage-but-allocated slots that the next spec step rewrites
+        before any read, so writing them stale values is inert)."""
+        import os
+
         ps = self.runner.page_size
         B, D1 = path.shape
         D = D1 - 1
@@ -533,17 +536,50 @@ class SpecRunner:
         j = jnp.arange(1, D + 1, dtype=jnp.int32)
         src_pos = s[:, None] + path[:, 1:]
         dst_pos = s[:, None] + j[None, :]
-        valid = j[None, :] <= a[:, None]
 
         def flat(pos):
             page = jnp.take_along_axis(page_table, pos // ps, axis=1)
             return page * ps + pos % ps
 
         srcf = flat(src_pos).reshape(-1)
-        dstf = jnp.where(valid, flat(dst_pos), 0).reshape(-1)
         L, Hkv, P, psz, F = kv.shape
         kvflat = kv.reshape(L, Hkv, P * psz, F)
-        vals = kvflat[:, :, srcf]
+        vals = kvflat[:, :, srcf]                     # [L, Hkv, B*D, F]
+
+        from sglang_custom_tpu.ops.kv_write import (
+            paged_kv_write,
+            writer_supported,
+        )
+
+        if (
+            jax.default_backend() == "tpu"
+            and writer_supported(kv)
+            and not os.environ.get("SGLANG_TPU_DISABLE_KV_WRITER")
+        ):
+            # Page-RMW writer per layer: the XLA scatter below pins a
+            # permuted pool layout and XLA re-inserts a full-pool
+            # layout-conversion copy per spec step next to the Pallas
+            # attention calls (the same failure ops/kv_write.py exists
+            # for; r5 profiling attributed most of the residual spec
+            # step cost here). Destinations are contiguous per row, so
+            # the writer's page-window form applies directly.
+            vnew = vals.reshape(L, Hkv, B, D, F).transpose(0, 2, 3, 1, 4)
+            positions = dst_pos                      # [B, D]
+            elens = jnp.full((B,), D, jnp.int32)
+
+            def body(kvc, args):
+                v, l = args
+                return paged_kv_write(
+                    v, kvc, l, page_table, positions, elens
+                ), None
+
+            kv, _ = jax.lax.scan(
+                body, kv, (vnew, jnp.arange(L, dtype=jnp.int32))
+            )
+            return kv
+
+        valid = j[None, :] <= a[:, None]
+        dstf = jnp.where(valid, flat(dst_pos), 0).reshape(-1)
         kvflat = kvflat.at[:, :, dstf].set(vals, mode="drop")
         return kvflat.reshape(kv.shape)
 
