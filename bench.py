@@ -444,6 +444,7 @@ def run_spec_bench(cfg, baseline_toks_per_s, batch=8, prompt=128,
         speculative_algorithm="eagle",
         speculative_num_steps=3, speculative_num_draft_tokens=4,
         speculative_eagle_topk=1, speculative_simulate_acc=True,
+        speculative_burst_size=8,
         decode_burst_size=1, disable_overlap_schedule=True,
     )
     mesh_ctx = create_mesh(tp_size=1, dp_size=1)

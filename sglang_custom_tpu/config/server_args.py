@@ -169,6 +169,12 @@ class ServerArgs:
     # eagle_worker.py). Output tokens are NOT model-correct under this
     # flag; never enable it in serving.
     speculative_simulate_acc: bool = False
+    # Fused spec steps per dispatch (the decode_burst_size analog for
+    # speculative batches): the draft->verify->accept chain runs S times
+    # on-device with token/position feedback in the scan carry, so the
+    # host round-trip amortizes over up to S*(depth+1) tokens. Finish
+    # checks lag by the burst horizon (speculative/eagle_worker.py).
+    speculative_burst_size: int = 1
 
     # Testing / dev
     device: str = "auto"               # auto | tpu | cpu

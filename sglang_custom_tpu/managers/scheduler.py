@@ -535,11 +535,12 @@ class Scheduler:
         went through the spec path), penalty/grammar-free, and able to hold
         the tree's node count + 1 more KV positions (reference: EAGLEWorker
         spec branch of run_batch, scheduler.py:1885)."""
-        K1 = self.spec.kv_slots_per_step
+        S = max(1, self.server_args.speculative_burst_size)
+        horizon = self.spec.kv_slots_per_step * S
         ctx = self.runner.context_len
         ok = all(
             getattr(r, "spec_ok", False)
-            and r.seq_len + K1 <= ctx
+            and r.seq_len + horizon <= ctx
             and not r.sampling_params.needs_penalties
             and r.grammar is None
             and r.lora_slot == 0
@@ -550,7 +551,7 @@ class Scheduler:
         i = 0
         while i < len(self.running_batch):
             r = self.running_batch[i]
-            if not self._extend_req_pages(r, K1):
+            if not self._extend_req_pages(r, horizon):
                 self._retract_one()
                 continue
             i += 1
@@ -564,7 +565,8 @@ class Scheduler:
             is_extend=False,
         )
         batch.spec = True
-        return self._widen_page_table(batch, K1)
+        batch.burst = S
+        return self._widen_page_table(batch, horizon)
 
     def _widen_page_table(self, batch: HostBatch, K: int) -> HostBatch:
         import numpy as np

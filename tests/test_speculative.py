@@ -388,3 +388,39 @@ class TestPallasTreeBackend:
         assert got == expected
         eng.scheduler.check_memory()
         eng.shutdown()
+
+
+class TestSpecBurst:
+    """Fused multi-step spec burst (speculative_burst_size > 1): S
+    draft->verify->accept chains per dispatch with on-device
+    token/position feedback must reproduce the per-step path exactly."""
+
+    def test_burst_greedy_matches_baseline(self, paths):
+        target, eagle, _ = paths
+        base = _make_engine(target)
+        expected = _greedy_outputs(base)
+        base.shutdown()
+
+        eng = _make_engine(
+            target, spec_algo="eagle", draft=eagle,
+            speculative_burst_size=4,
+        )
+        got = _greedy_outputs(eng)
+        assert got == expected
+        eng.scheduler.check_memory()
+        eng.shutdown()
+
+    def test_burst_equals_single_step(self, paths):
+        target, eagle, _ = paths
+        e1 = _make_engine(target, spec_algo="eagle", draft=eagle)
+        a = _greedy_outputs(e1)
+        acc1 = e1.spec_runner.avg_accept_len
+        e1.shutdown()
+        e4 = _make_engine(
+            target, spec_algo="eagle", draft=eagle,
+            speculative_burst_size=4,
+        )
+        b = _greedy_outputs(e4)
+        assert a == b
+        e4.scheduler.check_memory()
+        e4.shutdown()
