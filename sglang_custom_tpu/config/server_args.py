@@ -52,6 +52,15 @@ class ServerArgs:
     ds_recent: int = 64                # always-attended recent window
     ds_min_seq: int = 1024             # dense below this padded context
     ds_channel_config: Optional[str] = None  # .npz [L,Hkv,r] override
+    # DP-attention for MLA models (reference: --enable-dp-attention,
+    # srt/layers/dp_attention.py): attention runs batch-parallel over the
+    # tensor axis (latent KV cannot be head-sharded), MoE stays
+    # expert-parallel via a shard_map gather/psum_scatter
+    # (parallel/dp_attention.py). Overlap: --tbo microbatch count
+    # (reference: srt/two_batch_overlap.py).
+    enable_dp_attention: bool = False
+    dp_attention_capacity_factor: float = 2.0  # GShard capacity per chip
+    tbo_microbatches: int = 1          # >1 enables two-batch overlap
     disable_radix_cache: bool = False
     # Hierarchical (host-offload) KV cache (reference: --enable-hierarchical-cache,
     # hicache_ratio; mem_cache/hiradix_cache.py)

@@ -86,6 +86,26 @@ class Engine:
             elif server_args.tokenizer_path is None:
                 server_args.tokenizer_path = server_args.model_path
         self.model_config = ModelConfig.from_model_path(server_args.model_path)
+        if server_args.enable_dp_attention:
+            # must be set BEFORE weight loading: dp-attention changes the
+            # param shardings (attention replicated, experts ep-sharded)
+            from sglang_custom_tpu.models.registry import get_model
+            from sglang_custom_tpu.parallel.dp_attention import (
+                DpAttentionContext,
+            )
+
+            model = get_model(self.model_config.architecture)
+            if not hasattr(model, "set_dp_context"):
+                raise ValueError(
+                    "--enable-dp-attention requires an MLA/MoE model "
+                    f"({self.model_config.architecture} has no dp-attention "
+                    "path)"
+                )
+            model.set_dp_context(DpAttentionContext(
+                mesh_ctx=self.mesh_ctx,
+                capacity_factor=server_args.dp_attention_capacity_factor,
+                num_microbatches=server_args.tbo_microbatches,
+            ))
         # dp_size > 1: independent serving replicas, built below once the
         # tokenizer exists (managers/data_parallel_controller.py). The
         # multihost path instead shards ONE program over the data axis.
@@ -1255,6 +1275,12 @@ class Engine:
         if self.coordinator is not None and self.coordinator.is_driver:
             self.coordinator.broadcast({"op": "shutdown"})
         self.scheduler_thread.shutdown()
+        if self.server_args.enable_dp_attention:
+            from sglang_custom_tpu.models.registry import get_model
+
+            model = get_model(self.model_config.architecture)
+            if hasattr(model, "set_dp_context"):
+                model.set_dp_context(None)
 
     def __enter__(self):
         return self

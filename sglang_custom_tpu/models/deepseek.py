@@ -42,6 +42,25 @@ from sglang_custom_tpu.ops.mla_attention import mla_paged_attention
 from sglang_custom_tpu.parallel.mesh import TENSOR_AXIS
 
 
+# DP-attention context (parallel/dp_attention.py): set by the Engine
+# before weight loading when --enable-dp-attention. Module-level because
+# forward()'s signature is the zoo-wide contract; one context per process
+# matches one serving engine per process (reference:
+# srt/layers/dp_attention.py module-global _ATTN_TP_GROUP).
+_DP_CTX = None
+
+
+def set_dp_context(ctx) -> None:
+    global _DP_CTX
+    _DP_CTX = ctx
+
+
+def _dp_active(cfg: ModelConfig):
+    if _DP_CTX is not None and _DP_CTX.supports(cfg.num_experts):
+        return _DP_CTX
+    return None
+
+
 def _attn_shapes(cfg: ModelConfig, s, L: int) -> dict:
     H = cfg.hidden_size
     Hq = cfg.num_q_heads
@@ -163,6 +182,19 @@ def param_shardings(cfg: ModelConfig, mesh_ctx) -> dict:
             "shared_up": sh(None, None, t) if div(Is) else sh(),
             "shared_down": sh(None, t, None) if div(Is) else sh(),
         })
+    if _dp_active(cfg):
+        # dp-attention layout: attention weights replicated (attention
+        # runs batch-parallel over the tensor axis with full heads —
+        # the latent KV cannot be head-sharded anyway); shared experts
+        # replicated too so the whole non-routed path is data-parallel.
+        # Routed expert stacks stay expert-sharded over `tensor`.
+        for d in (dense, moe):
+            for k in ("kv_b", "o_proj", "q_b", "q_proj"):
+                if k in d:
+                    d[k] = sh()
+        for k in ("shared_gate", "shared_up", "shared_down"):
+            if k in moe:
+                moe[k] = sh()
     return {
         "embed": sh(t, None) if div(cfg.vocab_size) else sh(),
         "dense_layers": dense,
@@ -376,9 +408,13 @@ def forward(
     )
     cos, sin = rope_cos_sin(rp, inv_freq)
 
+    dp_ctx0 = _dp_active(cfg)
+
     def dense_layer(carry, xs):
         x, kv = carry
         lp, li = xs
+        if dp_ctx0 is not None and B % dp_ctx0.tp == 0:
+            x = dp_ctx0.batch_sharded(x)
         x, kv = _mla_block(x, lp, kv, li, cfg, meta, cos, sin, scale)
         h = rms_norm(x, lp["post_norm"], eps)
         gate = mm(h, lp["gate_proj"])
@@ -386,12 +422,39 @@ def forward(
         x = x + mm(jax.nn.silu(gate) * up, lp["down_proj"])
         return (x, kv), None
 
+    dp_ctx = _dp_active(cfg)
+
     def moe_layer(carry, xs):
         x, kv = carry
         lp, li = xs
+        if dp_ctx is not None and B % dp_ctx.tp == 0:
+            # dp-attention: batch rows sharded over the tensor axis, so
+            # the (replicated-weight) MLA block below runs data-parallel
+            x = dp_ctx.batch_sharded(x)
         x, kv = _mla_block(x, lp, kv, li, cfg, meta, cos, sin, scale)
         h = rms_norm(x, lp["post_norm"], eps)
-        moe_out, counts = _moe_ffn(h.reshape(B * T, -1), lp, cfg)
+        if dp_ctx is not None and (B * T) % dp_ctx.tp == 0:
+            from sglang_custom_tpu.parallel.dp_attention import dp_moe_ffn
+
+            hf = dp_ctx.batch_sharded(h.reshape(B * T, -1))
+            routed = dp_moe_ffn(dp_ctx, hf, lp, cfg, _router)
+            if cfg.n_shared_experts:
+                g = mm(hf, lp["shared_gate"])
+                u = mm(hf, lp["shared_up"])
+                routed = routed + mm(
+                    jax.nn.silu(g) * u, lp["shared_down"]
+                )
+            counts = (
+                jnp.zeros((cfg.num_experts,), jnp.int32)
+                if not record_experts
+                else jnp.bincount(
+                    _router(h.reshape(B * T, -1), lp, cfg)[1].reshape(-1),
+                    length=cfg.num_experts,
+                ).astype(jnp.int32)
+            )
+            moe_out = routed
+        else:
+            moe_out, counts = _moe_ffn(h.reshape(B * T, -1), lp, cfg)
         x = x + moe_out.reshape(B, T, -1)
         return (x, kv), counts if record_experts else None
 
