@@ -184,6 +184,15 @@ def load_weights(
             files, cfg, model, key_map, shapes, shardings, mesh_ctx, dtype
         )
 
+    if cfg.quantization == "bitsandbytes":
+        # bnb nf4/fp4/int8 dequantized on host (model_loader/bnb_loader.py
+        # — reference loader.py:765 BitsAndBytesModelLoader); the float
+        # view then flows through the normal staging loop and may be
+        # re-quantized to the TPU W4A16 layout via --quantization.
+        from sglang_custom_tpu.model_loader.bnb_loader import BnbStateDict
+
+        files = [BnbStateDict(files)]
+
     # Host staging buffers (fp32 numpy keeps safetensors-numpy happy; cast on
     # device_put).
     staging = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
@@ -193,8 +202,10 @@ def load_weights(
     for f in files:
         # framework="pt" keeps reads host-side and handles bf16/fp16/fp32
         # checkpoints uniformly (numpy can't represent bf16; flax would place
-        # tensors on the accelerator).
-        with safe_open(f, framework="pt") as st:
+        # tensors on the accelerator). A BnbStateDict is already its own
+        # safe_open-shaped context.
+        with (f if not isinstance(f, str)
+              else safe_open(f, framework="pt")) as st:
             for name in st.keys():
                 if name not in key_map:
                     if "rotary_emb" not in name:
