@@ -5,9 +5,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 - value          : steady-state continuous-batching decode tokens/s/chip on
                    a Llama-3.2-1B geometry (dummy weights), batch 64,
                    through the real Scheduler with the overlap pipeline.
-- vs_baseline    : achieved HBM bytes/s divided by this chip's *measured*
-                   streaming-read roofline (BASELINE.json gate: >=0.9x
-                   roofline decode) — NOT a cross-hardware tok/s ratio.
+- vs_baseline    : achieved HBM bytes/s divided by the chip's DATA-SHEET
+                   HBM bandwidth (hbm_spec_gbps; BASELINE.json gate:
+                   >=0.9x roofline decode) — NOT a cross-hardware tok/s
+                   ratio. <=1.0 by construction, session-independent.
 - w4a16_8b       : the SAME measurement on the BASELINE north-star model
                    class — Llama-3-8B geometry, W4A16 dummy weights
                    (VERDICT round 2 weak #7: "the bench measures the wrong
@@ -44,6 +45,29 @@ _enable_compile_cache()
 BATCH = 64
 PROMPT = 128
 DECODE = 256
+
+
+def hbm_spec_gbps():
+    """Spec-sheet HBM bandwidth for the attached chip — the vs_baseline
+    DENOMINATOR (r5 fix, VERDICT r4 weak #3): every *measured* probe shape
+    tried over the tunnel-attached chip (pure weight stream 408 GB/s,
+    byte-mix GEMM 312, XLA paged gather 39) reads BELOW the engine's own
+    achieved decode bandwidth, so a measured denominator either gates on
+    tunnel noise or degenerates to achieved/achieved = 1.0. The data-sheet
+    number is session-independent and >= attainable by definition, making
+    vs_baseline <= 1.0 by construction and reproducible to the timer's
+    precision. Probes are still reported as the attainable band."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v5 lite": 819.0, "v5e": 819.0,   # v5e data sheet
+        "v4": 1228.0, "v5p": 2765.0, "v6 lite": 1640.0, "v6e": 1640.0,
+    }
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 819.0
 
 
 def measure_roofline_gbps():
@@ -374,10 +398,10 @@ def run_decode_bench(cfg, quantization, num_pages, batch, prompt, decode,
     token_steps_per_s = toks_per_s / batch
     achieved_gbps = bytes_per_token_step * token_steps_per_s / 1e9
     probe_after = probe()
-    # ceiling = best observed bandwidth for THIS byte mix; including the
-    # bench's own achieved rate makes vs_baseline <= 1.0 by construction
-    # (if the engine beats both probes, the engine IS the ceiling proof).
-    mix_ceiling = max(probe_before, probe_after, achieved_gbps)
+    # gate denominator: the chip's data-sheet HBM bandwidth (see
+    # hbm_spec_gbps) — session-independent and attainable-bounding. The
+    # bracketed byte-mix probes stay in the artifact as the measured band.
+    mix_ceiling = hbm_spec_gbps()
 
     breakdown = None
     if attr:

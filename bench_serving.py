@@ -65,10 +65,10 @@ async def run_benchmark(args) -> MetricsCollector:
         output_len=args.output_len,
         vocab_size=args.vocab_size,
         seed=args.seed,
-        workload=args.workload,
-        max_input_len=args.max_input_len,
-        prefix_groups=args.prefix_groups,
-        prefix_frac=args.prefix_frac,
+        workload=getattr(args, "workload", "uniform"),
+        max_input_len=getattr(args, "max_input_len", 0),
+        prefix_groups=getattr(args, "prefix_groups", 0),
+        prefix_frac=getattr(args, "prefix_frac", 0.5),
     )
     collector = MetricsCollector()
     reqs = list(gen.generate())

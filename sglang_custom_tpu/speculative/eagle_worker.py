@@ -355,8 +355,12 @@ class SpecRunner:
         seq_lens = take(B, (B,))
         top_k = take(B, (B,))
         slots = take(B, (B,))
-        sim_p = jax.lax.bitcast_convert_type(take(1, (1,)), jnp.float32)[0]
+        # MUST match decode()'s host packing order: f32 block, THEN sim_p
+        # (r5 bug: reading sim_p first bitcast a temperature word — 0.0 —
+        # so the simulated accept walk rejected every draft and the burst
+        # bench emitted 1 token/step at 4-token cost)
         f32 = jax.lax.bitcast_convert_type(take(3 * B, (3, B)), jnp.float32)
+        sim_p = jax.lax.bitcast_convert_type(take(1, (1,)), jnp.float32)[0]
         counter = packed[o]
         smeta = SamplingMeta(
             temperature=f32[0], top_k=top_k, top_p=f32[1], min_p=f32[2]

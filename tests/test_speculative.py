@@ -424,3 +424,23 @@ class TestSpecBurst:
         assert a == b
         e4.scheduler.check_memory()
         e4.shutdown()
+
+
+class TestSimulatedAcceptance:
+    """speculative_simulate_acc is the bench's regime-map instrument; the
+    burst unpack once misread sim_p (r5: read before the f32 block the
+    host packs first) and silently rejected every draft. Pin the accept
+    length at sim_p=1.0 for both the per-step and burst paths."""
+
+    @pytest.mark.parametrize("burst", [1, 4])
+    def test_full_accept_reaches_depth(self, paths, burst):
+        target, eagle, _ = paths
+        eng = _make_engine(
+            target, spec_algo="eagle", draft=eagle,
+            speculative_simulate_acc=True,
+            speculative_burst_size=burst,
+        )
+        _greedy_outputs(eng, max_new=16)
+        # chain depth 3 + bonus = 4 emitted per accepted step
+        assert eng.spec_runner.avg_accept_len > 3.0
+        eng.shutdown()
